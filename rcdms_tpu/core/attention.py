@@ -1,0 +1,119 @@
+"""Attention stack: multi-head attention, BasicTransformerBlock, and the
+spatial transformer (reference `src/models/attention.py:31-365`), re-designed
+for TPU: einsum/Pallas attention over NHWC token layouts, fp32 softmax, no
+sliced-attention fallbacks (XLA/Pallas handle memory tiling)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rcdms_tpu.core.layers import FeedForward, GroupNorm, LayerNorm
+from rcdms_tpu.ops.attention import dot_product_attention
+
+Array = jax.Array
+
+
+class Attention(nn.Module):
+    """Multi-head (self/cross) attention over (..., seq, dim) inputs.
+
+    Equivalent of the reference `CrossAttention` (`attention.py:31-199`):
+    to_q/to_k/to_v (optional bias), additive mask, out projection (always
+    biased). Leading batch dims are arbitrary."""
+
+    heads: int
+    head_dim: int
+    out_dim: Optional[int] = None      # defaults to query dim
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None,
+                 mask: Optional[Array] = None) -> Array:
+        """mask: additive, broadcastable to (..., heads, seq_q, seq_k)."""
+        inner = self.heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_v")(ctx)
+
+        def split_heads(t):
+            t = t.reshape(t.shape[:-1] + (self.heads, self.head_dim))
+            return jnp.swapaxes(t, -3, -2)  # (..., heads, seq, head_dim)
+
+        o = dot_product_attention(split_heads(q), split_heads(k),
+                                  split_heads(v), mask=mask)
+        o = jnp.swapaxes(o, -3, -2)
+        o = o.reshape(o.shape[:-2] + (inner,))
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(o)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> [LN -> cross-attn] -> LN -> FF, all residual
+    (reference `attention.py:368-526`; the disabled sparse-causal/temporal
+    variants are intentionally not replicated — they are off in every live
+    config, `configs/training.yaml:4-5`)."""
+
+    heads: int
+    head_dim: int
+    use_cross: bool = False
+    activation: str = "geglu"
+    attention_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None,
+                 mask: Optional[Array] = None) -> Array:
+        h = LayerNorm(name="norm1")(x)
+        x = x + Attention(self.heads, self.head_dim,
+                          qkv_bias=self.attention_bias, dtype=self.dtype,
+                          name="attn1")(h, mask=mask)
+        if self.use_cross:
+            h = LayerNorm(name="norm2")(x)
+            x = x + Attention(self.heads, self.head_dim,
+                              qkv_bias=self.attention_bias, dtype=self.dtype,
+                              name="attn2")(h, context=context)
+        h = LayerNorm(name="norm3")(x)
+        return x + FeedForward(self.activation, dtype=self.dtype,
+                               name="ff")(h)
+
+
+class SpatialTransformer(nn.Module):
+    """Spatial self+cross attention over each frame's h*w tokens — the
+    reference `Transformer3DModel` (`attention.py:254-365`) without the
+    (b f) einops churn: input (b, f, h, w, c), tokens (b, f, h*w, c).
+
+    GroupNorm -> 1x1 proj_in -> blocks -> 1x1 proj_out -> +residual.
+    SD1.5 uses conv 1x1 projections (use_linear_projection=False), which on
+    NHWC tokens are exactly Dense layers."""
+
+    heads: int
+    head_dim: int
+    num_layers: int = 1
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        """x: (b, f, h, w, c); context: (b, f, n_ctx, d_ctx)."""
+        b, f, hh, ww, c = x.shape
+        residual = x
+        h = GroupNorm(self.norm_groups, eps=1e-6, name="norm")(x)
+        h = h.reshape(b, f, hh * ww, c)
+        h = nn.Dense(self.heads * self.head_dim, dtype=self.dtype,
+                     name="proj_in")(h)
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                self.heads, self.head_dim, use_cross=True,
+                activation="geglu", dtype=self.dtype,
+                name=f"block_{i}")(h, context=context)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        return h.reshape(b, f, hh, ww, c) + residual
