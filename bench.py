@@ -1,0 +1,141 @@
+"""Benchmark: stage-2 story generation throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "stage2_frames_per_sec_per_chip", "value": N, "unit":
+   "frames/s/chip", "vs_baseline": R, ...}
+
+North-star (BASELINE.json): 5-frame 512px story in <=2 s p50 on v5e-8, i.e.
+5 / (2 s * 8 chips) = 0.3125 frames/s/chip for the full two-stage pipeline;
+stage 2 dominates the FLOPs. `vs_baseline` = measured frames/s/chip divided
+by that 0.3125 target (>1.0 beats the target).
+
+Measures the full compiled stage-2 sampling loop (20 DDIM steps, CFG 2.0,
+512px latents = 64x64, 5 frames, bf16, SD1.5-scale UNet + fusion) with
+random weights — identical compute to trained weights. p50 over repeats.
+
+  python bench.py           # full-size (TPU)
+  python bench.py --tiny    # CPU smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
+
+
+def build(tiny: bool):
+    from rcdms_tpu.configs import FusionConfig, StoryUNetConfig
+    from rcdms_tpu.models.fusion import FusionModule
+    from rcdms_tpu.models.unet3d import StoryUNet
+    from rcdms_tpu.sample.story_sampler import StoryConditioning, StorySampler
+
+    dtype = jnp.bfloat16
+    if tiny:
+        ucfg = StoryUNetConfig.tiny()
+        fcfg = FusionConfig.tiny(hidden_dim=ucfg.cross_attention_dim,
+                                 text_dim=ucfg.cross_attention_dim)
+        hw, n_vis, steps = 8, 9, 3
+    else:
+        ucfg = StoryUNetConfig()      # SD1.5-scale
+        fcfg = FusionConfig()
+        hw, n_vis, steps = 64, 257, 20
+
+    unet = StoryUNet(ucfg, dtype=dtype)
+    fusion = FusionModule(fcfg, dtype=dtype)
+    sampler = StorySampler(unet, fusion, num_steps=steps, guidance_scale=2.0)
+
+    b, f, t = 1, ucfg.num_frames, 91 if not tiny else 7
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    cond = StoryConditioning(
+        text_hidden=jax.random.normal(ks[0], (b, f, t, fcfg.text_dim), dtype),
+        text_hidden_u=jax.random.normal(ks[1], (b, f, t, fcfg.text_dim),
+                                        dtype),
+        image_tokens=jax.random.normal(ks[2], (b, f, n_vis,
+                                               fcfg.seen_vis_dim), dtype),
+        image_proj=jax.random.normal(ks[3], (b, f, fcfg.unseen_vis_dim),
+                                     dtype),
+        frame_known=jnp.zeros((b, f), bool).at[:, 0].set(True),
+        masked_latents=jax.random.normal(ks[4], (b, f, hw, hw, 4), dtype),
+        mask_label=jnp.ones((b, f, hw, hw, 1), dtype),
+    )
+
+    def zeros_like_tree(tree):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+    x9 = jnp.zeros((b, f, hw, hw, ucfg.in_channels), dtype)
+    ctx = jnp.zeros((b, f, t, ucfg.cross_attention_dim), dtype)
+    unet_p = zeros_like_tree(jax.eval_shape(
+        lambda k: unet.init(k, x9, jnp.zeros((b,), jnp.int32), ctx),
+        jax.random.PRNGKey(1)))
+    fusion_p = zeros_like_tree(jax.eval_shape(
+        lambda k: fusion.init(k, cond.image_tokens, cond.image_proj,
+                              cond.text_hidden, cond.frame_known),
+        jax.random.PRNGKey(2)))
+    return sampler, unet_p, fusion_p, cond, f, steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    sampler, unet_p, fusion_p, cond, frames, steps = build(args.tiny)
+    run = jax.jit(sampler.__call__)
+
+    def sync(x):
+        # block_until_ready does not reliably block through the axon TPU
+        # tunnel — force a (tiny) device->host fetch to drain the pipeline
+        import numpy as np
+
+        x.block_until_ready()
+        return float(np.asarray(x[(0,) * x.ndim]))
+
+    key = jax.random.PRNGKey(42)
+    t0 = time.perf_counter()
+    sync(run(unet_p, fusion_p, cond, key))
+    compile_and_first = time.perf_counter() - t0
+    sync(run(unet_p, fusion_p, cond, key))  # warm-up, steady-state dispatch
+
+    times = []
+    for i in range(args.repeats):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        sync(run(unet_p, fusion_p, cond, k))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    fps = frames / p50
+
+    result = {
+        "metric": "stage2_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 4),
+        "p50_story_latency_s": round(p50, 4),
+        "ddim_steps": steps,
+        "compile_plus_first_run_s": round(compile_and_first, 2),
+        "backend": jax.default_backend(),
+        "tiny": args.tiny,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

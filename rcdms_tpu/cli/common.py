@@ -1,0 +1,166 @@
+"""Shared CLI plumbing: model construction, pretrained-weight loading via
+the torch->jax converters, and frozen-encoder param trees.
+
+Replaces the reference's scattered `from_pretrained` calls + hardcoded paths
+(`train_stage2.py:242-248`, `:311`) with one explicit loader that works in
+three modes:
+  * --pretrained-dir <hf layout>   load + convert torch weights
+  * (absent)                       random init (smoke/bench mode)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcdms_tpu.configs import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    DatasetConfig,
+    FusionConfig,
+    PriorConfig,
+    StoryUNetConfig,
+    VAEConfig,
+)
+from rcdms_tpu.io import convert as C
+from rcdms_tpu.models.clip import CLIPTextEncoder, CLIPVisionEncoder
+from rcdms_tpu.models.fusion import FusionModule
+from rcdms_tpu.models.prior import FramePrior
+from rcdms_tpu.models.unet3d import StoryUNet
+from rcdms_tpu.models.vae import VAE
+
+logger = logging.getLogger("rcdms_tpu.cli")
+
+
+def _load_torch_bin(path: str) -> dict:
+    """Load a diffusers/transformers torch weight file (.bin/.safetensors)."""
+    if path.endswith(".safetensors") or os.path.exists(
+            path.replace("pytorch_model.bin", "model.safetensors")):
+        try:
+            from safetensors.numpy import load_file
+
+            p = (path if path.endswith(".safetensors")
+                 else path.replace("pytorch_model.bin", "model.safetensors"))
+            if os.path.exists(p):
+                return dict(load_file(p))
+        except ImportError:
+            pass
+    import torch
+
+    return C.to_numpy_state_dict(torch.load(path, map_location="cpu",
+                                            weights_only=True))
+
+
+def _find_weights(subdir: str) -> Optional[str]:
+    for name in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
+                 "diffusion_pytorch_model.safetensors", "model.safetensors"):
+        p = os.path.join(subdir, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _merge_into_init(model, init_args, converted, key=jax.random.PRNGKey(0)):
+    fresh = model.init(key, *init_args)
+    n_fresh = C.count_fresh_leaves(fresh["params"], converted)
+    logger.info("%s: %d leaves stay fresh-init",
+                type(model).__name__, n_fresh)
+    return {"params": C.merge_params(fresh["params"], converted)}
+
+
+def build_text_encoder(cfg: CLIPTextConfig, pretrained: Optional[str],
+                       dtype=jnp.float32) -> Tuple[CLIPTextEncoder, dict]:
+    model = CLIPTextEncoder(cfg, dtype=dtype)
+    ids = jnp.zeros((1, cfg.max_positions), jnp.int32)
+    if pretrained:
+        sd = _load_torch_bin(_find_weights(pretrained))
+        params = {"params": C.convert_clip_text(sd, cfg, resize=True)}
+    else:
+        params = model.init(jax.random.PRNGKey(0), ids)
+    return model, params
+
+
+def build_vision_encoder(cfg: CLIPVisionConfig, pretrained: Optional[str],
+                         dtype=jnp.float32) -> Tuple[CLIPVisionEncoder, dict]:
+    model = CLIPVisionEncoder(cfg, dtype=dtype)
+    px = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    if pretrained:
+        sd = _load_torch_bin(_find_weights(pretrained))
+        params = {"params": C.convert_clip_vision(sd, cfg)}
+    else:
+        params = model.init(jax.random.PRNGKey(0), px)
+    return model, params
+
+
+def build_vae(cfg: VAEConfig, pretrained: Optional[str],
+              dtype=jnp.float32) -> Tuple[VAE, dict]:
+    model = VAE(cfg, dtype=dtype)
+    factor = 2 ** (len(cfg.block_channels) - 1)
+    x = jnp.zeros((1, 64, 64, 3))
+    z = jnp.zeros((1, 64 // factor, 64 // factor, cfg.latent_channels))
+    if pretrained:
+        sd = _load_torch_bin(_find_weights(pretrained))
+        params = {"params": C.convert_sd_vae(sd, cfg)}
+    else:
+        params = model.init(jax.random.PRNGKey(0), x, z)
+    return model, params
+
+
+def build_prior(cfg: PriorConfig, pretrained: Optional[str],
+                dtype=jnp.float32) -> Tuple[FramePrior, dict]:
+    """pretrained = kandinsky prior dir; drops positional_embedding and
+    initializes temporal + new conditioning heads fresh (the reference's
+    `from_pretrained_2d` surgery)."""
+    model = FramePrior(cfg, dtype=dtype)
+    b, f, d, t = 1, cfg.num_frames, cfg.embedding_dim, cfg.num_text_tokens
+    init_args = (jnp.zeros((b, f, d)), jnp.zeros((b, f), jnp.int32),
+                 jnp.zeros((b, f, d)), jnp.zeros((b, f, t, d)),
+                 jnp.zeros((b, f, d)), jnp.zeros((b, f, d)),
+                 jnp.ones((b, f, t), bool))
+    if not pretrained:
+        return model, model.init(jax.random.PRNGKey(0), *init_args)
+    sd = _load_torch_bin(_find_weights(pretrained))
+    converted = C.convert_kandinsky_prior(sd, cfg)
+    prd = C.convert_prior_prd(sd)
+    if prd is not None:
+        converted["prd_embedding"] = prd
+    return model, _merge_into_init(model, init_args, converted)
+
+
+def build_unet(cfg: StoryUNetConfig, pretrained: Optional[str],
+               dtype=jnp.float32) -> Tuple[StoryUNet, dict]:
+    """pretrained = SD1.5 unet dir; conv_in (9ch) + temporal stay fresh."""
+    model = StoryUNet(cfg, dtype=dtype)
+    b, f = 1, cfg.num_frames
+    init_args = (jnp.zeros((b, f, 16, 16, cfg.in_channels)),
+                 jnp.zeros((b,), jnp.int32),
+                 jnp.zeros((b, f, 4, cfg.cross_attention_dim)))
+    if not pretrained:
+        return model, model.init(jax.random.PRNGKey(0), *init_args)
+    sd = _load_torch_bin(_find_weights(pretrained))
+    converted = C.convert_sd_unet(sd, cfg)
+    return model, _merge_into_init(model, init_args, converted)
+
+
+def build_fusion(cfg: FusionConfig, dtype=jnp.float32
+                 ) -> Tuple[FusionModule, dict]:
+    model = FusionModule(cfg, dtype=dtype)
+    b, f, t = 1, 5, 4
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, f, 4, cfg.seen_vis_dim)),
+        jnp.zeros((b, f, cfg.unseen_vis_dim)),
+        jnp.zeros((b, f, t, cfg.text_dim)),
+        jnp.zeros((b, f), bool))
+    return model, params
+
+
+def dataset_from_args(args) -> DatasetConfig:
+    return DatasetConfig(name=args.dataset, h5_path=args.h5_path,
+                         image_size=args.image_size,
+                         sr_dir=getattr(args, "sr_dir", None))

@@ -1,0 +1,225 @@
+"""Evaluation CLI — the reference's `stage1_batchtest_rcdms_model.py` and
+`stage2_batchtest_rcdms_model.py` in one entry point running the full
+two-stage pipeline over the test split.
+
+Modes (reference `stage1_batchtest:164-180`):
+  * visualization: no known frames (known_length=0)
+  * continue:      frame 0 known   (known_length=1)
+
+Outputs: per-story predicted-embedding cosine similarity (stage-1 metric),
+generated PNG grids vs ground truth + SSIM/PSNR (stage-2 metrics), and a
+JSONL metrics file.
+
+    python -m rcdms_tpu.cli.evaluate --dataset pororosv --mode continue \
+        --h5-path .../pororo.h5 --sd-pretrained ... --prior-pretrained ... \
+        --output-dir eval_out --num-stories 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcdms_tpu.cli import common
+from rcdms_tpu.configs import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    FusionConfig,
+    PriorConfig,
+    StoryUNetConfig,
+    TemporalConfig,
+    VAEConfig,
+)
+from rcdms_tpu.models.fusion import FusionModule
+from rcdms_tpu.sample.eval import (
+    Stage1EvalAccumulator,
+    save_story_grid,
+    split_indices,
+    story_metrics,
+)
+from rcdms_tpu.sample.pipeline import StoryInputs, StoryPipeline
+from rcdms_tpu.sample.prior_sampler import PriorSampler
+from rcdms_tpu.sample.story_sampler import StorySampler
+from rcdms_tpu.io.checkpoint import restore_checkpoint
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="pororosv",
+                   choices=["flintstones", "pororosv"])
+    p.add_argument("--h5-path", default="./datasets/ARLDM/pororo.h5")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--mode", default="continue",
+                   choices=["visualization", "continue"])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--sd-pretrained", default=None)
+    p.add_argument("--prior-pretrained", default=None)
+    p.add_argument("--text-s1-pretrained", default=None)
+    p.add_argument("--vision-pretrained", default=None)
+    p.add_argument("--tokenizer-path", default=None)
+    p.add_argument("--stage1-ckpt", default=None,
+                   help="orbax dir with trained prior params")
+    p.add_argument("--stage2-ckpt", default=None,
+                   help="orbax dir with trained unet+fusion params")
+    p.add_argument("--output-dir", default="eval_out")
+    p.add_argument("--num-stories", type=int, default=16)
+    p.add_argument("--num-inference-steps", type=int, default=20)
+    p.add_argument("--guidance-scale", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--shard-id", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def build_pipeline(args):
+    if args.synthetic:
+        from rcdms_tpu.data.datasets import SyntheticStoryDataset
+
+        dataset = SyntheticStoryDataset()
+        ds_cfg = dataset.cfg
+        prior_cfg = PriorConfig.tiny(num_text_tokens=ds_cfg.max_text_len)
+        unet_cfg = StoryUNetConfig.tiny()
+        fusion_cfg = FusionConfig.tiny(
+            hidden_dim=unet_cfg.cross_attention_dim,
+            text_dim=unet_cfg.cross_attention_dim,
+            unseen_vis_dim=prior_cfg.embedding_dim)
+        vae_cfg = VAEConfig.tiny()
+        t1_cfg = CLIPTextConfig.tiny(max_positions=ds_cfg.max_text_len,
+                                     width=prior_cfg.embedding_dim,
+                                     projection_dim=prior_cfg.embedding_dim,
+                                     vocab_size=49500, eos_token_id=49407)
+        t2_cfg = CLIPTextConfig.tiny(max_positions=ds_cfg.max_text_len,
+                                     width=unet_cfg.cross_attention_dim,
+                                     vocab_size=49500, eos_token_id=49407)
+        v_cfg = CLIPVisionConfig.tiny(
+            image_size=ds_cfg.clip_size, width=fusion_cfg.seen_vis_dim,
+            projection_dim=prior_cfg.embedding_dim)
+    else:
+        from rcdms_tpu.data.datasets import StoryH5Dataset
+
+        ds_cfg = common.dataset_from_args(args)
+        dataset = StoryH5Dataset(ds_cfg, "test", args.tokenizer_path)
+        prior_cfg = PriorConfig(
+            num_text_tokens=ds_cfg.max_text_len,
+            temporal=TemporalConfig(max_frames=ds_cfg.num_frames))
+        unet_cfg = StoryUNetConfig()
+        fusion_cfg = FusionConfig()
+        vae_cfg = VAEConfig()
+        t1_cfg = CLIPTextConfig.bigg(ds_cfg.max_text_len, ds_cfg.vocab_size)
+        t2_cfg = CLIPTextConfig.sd15(ds_cfg.max_text_len, ds_cfg.vocab_size)
+        v_cfg = CLIPVisionConfig()
+
+    sd = args.sd_pretrained
+    text1, text1_p = common.build_text_encoder(t1_cfg,
+                                               args.text_s1_pretrained)
+    text2, text2_p = common.build_text_encoder(
+        t2_cfg, os.path.join(sd, "text_encoder") if sd else None)
+    vision, vision_p = common.build_vision_encoder(v_cfg,
+                                                   args.vision_pretrained)
+    vae, vae_p = common.build_vae(
+        vae_cfg, os.path.join(sd, "vae") if sd else None)
+    prior, prior_p = common.build_prior(prior_cfg, args.prior_pretrained)
+    unet, unet_p = common.build_unet(
+        unet_cfg, os.path.join(sd, "unet") if sd else None)
+    fusion, fusion_p = common.build_fusion(fusion_cfg)
+
+    if args.stage1_ckpt:
+        restored, _, _ = restore_checkpoint(args.stage1_ckpt,
+                                            {"params": prior_p})
+        prior_p = restored["params"]
+    if args.stage2_ckpt:
+        joint = {"params": {"unet": unet_p["params"],
+                            "fusion": fusion_p["params"]}}
+        restored, _, _ = restore_checkpoint(args.stage2_ckpt,
+                                            {"params": joint})
+        unet_p = {"params": restored["params"]["params"]["unet"]}
+        fusion_p = {"params": restored["params"]["params"]["fusion"]}
+
+    pipeline = StoryPipeline(
+        text_encoder_s1=text1, text_encoder_s2=text2, vision_encoder=vision,
+        vae=vae,
+        prior_sampler=PriorSampler(prior,
+                                   num_steps=args.num_inference_steps,
+                                   guidance_scale=args.guidance_scale),
+        story_sampler=StorySampler(unet, FusionModule(fusion_cfg),
+                                   num_steps=args.num_inference_steps,
+                                   guidance_scale=args.guidance_scale))
+    params = {"text_s1": text1_p, "text_s2": text2_p, "vision": vision_p,
+              "vae": vae_p, "prior": prior_p, "unet": unet_p,
+              "fusion": fusion_p}
+    return pipeline, params, dataset, ds_cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    pipeline, params, dataset, ds_cfg = build_pipeline(args)
+
+    known_length = 1 if args.mode == "continue" else 0
+    generate = jax.jit(pipeline.generate)
+    rng = np.random.RandomState(args.seed)
+    s1_acc = Stage1EvalAccumulator()
+    all_metrics = []
+    t_start = time.perf_counter()
+
+    n = min(args.num_stories, len(dataset))
+    indices = split_indices(n, args.shard_id, args.num_shards)
+    metrics_path = os.path.join(args.output_dir,
+                                f"metrics_{args.shard_id}.jsonl")
+    with open(metrics_path, "w") as mf:
+        utoks = dataset.tokenizer([""] * ds_cfg.num_frames)
+        for idx in indices:
+            ex = dataset.example(idx, rng, known_length=known_length)
+            inputs = StoryInputs(
+                tokens_s1=jnp.asarray(ex["input_ids"])[None],
+                tokens_s1_u=jnp.asarray(utoks["input_ids"])[None],
+                tokens_s2=jnp.asarray(ex["input_ids"])[None],
+                tokens_s2_u=jnp.asarray(utoks["input_ids"])[None],
+                source_clip=jnp.asarray(ex["source_clip"])[None],
+                mask_clip=jnp.asarray(ex["mask_clip"])[None],
+                source_pixels=jnp.asarray(ex["source"])[None],
+                frame_known=jnp.asarray(ex["frame_known"])[None],
+            )
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
+            frames, pred_embeds = generate(params, inputs, key)
+            frames = np.asarray(frames[0])
+
+            # stage-1 metric: cosine sim vs GT CLIP embeds of real frames
+            ref = jnp.asarray(ex["reference_clip"])
+            _, gt_embeds = pipeline.vision_encoder.apply(
+                params["vision"], ref)
+            sim = s1_acc.update(np.asarray(pred_embeds[0]),
+                                np.asarray(gt_embeds))
+
+            gt = (np.asarray(ex["target"]) + 1) / 2
+            m = story_metrics(frames, gt)
+            m.update({"story": idx, "clip_cosine": sim})
+            all_metrics.append(m)
+            mf.write(json.dumps(m) + "\n")
+            save_story_grid(os.path.join(args.output_dir,
+                                         f"story_{idx}.png"), frames, gt)
+            print(f"story {idx}: cosine {sim:.4f} ssim {m['ssim']:.4f}")
+
+    elapsed = time.perf_counter() - t_start
+    summary = {
+        "num_stories": len(indices),
+        "mean_clip_cosine": s1_acc.mean,
+        "mean_ssim": float(np.mean([m["ssim"] for m in all_metrics])),
+        "mean_psnr": float(np.mean([m["psnr"] for m in all_metrics])),
+        "elapsed_s": elapsed,
+        "stories_per_s": len(indices) / elapsed,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(args.output_dir,
+                           f"summary_{args.shard_id}.json"), "w") as f:
+        json.dump(summary, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Stage-1 training CLI — the reference `train_stage1.py` + run_stage1_*.sh
+collapsed into one entry point with typed flags.
+
+    python -m rcdms_tpu.cli.train_stage1 --dataset flintstones \
+        --h5-path .../flintstones.h5 \
+        --prior-pretrained .../kandinsky-2-2-prior/prior \
+        --text-pretrained .../kandinsky-2-2-prior/text_encoder \
+        --vision-pretrained .../kandinsky-2-2-prior/image_encoder \
+        --output-dir runs/stage1
+
+Distribution is automatic: all visible devices form a ('data',) mesh with
+DP batch sharding + ZeRO-2 optimizer-state sharding (--no-zero2 to disable).
+Smoke mode (no pretrained dirs, synthetic data): --synthetic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcdms_tpu.configs import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    MeshConfig,
+    OptimizerConfig,
+    PriorConfig,
+    TemporalConfig,
+)
+from rcdms_tpu.cli import common
+from rcdms_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from rcdms_tpu.train.loop import make_sharded_train_step, place_state
+from rcdms_tpu.train.optim import make_optimizer
+from rcdms_tpu.train.sharding import make_mesh, shard_batch
+from rcdms_tpu.train.stage1 import Stage1Trainer, encode_batch
+from rcdms_tpu.train.train_state import TrainState
+from rcdms_tpu.utils.logging import MetricLogger, StepTimer, setup_logging
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="flintstones",
+                   choices=["flintstones", "pororosv"])
+    p.add_argument("--h5-path", default="./datasets/ARLDM/flintstones.h5")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--sr-dir", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic data + tiny model (smoke test)")
+    p.add_argument("--prior-pretrained", default=None)
+    p.add_argument("--text-pretrained", default=None)
+    p.add_argument("--vision-pretrained", default=None)
+    p.add_argument("--tokenizer-path", default=None)
+    p.add_argument("--output-dir", default="runs/stage1")
+    p.add_argument("--resume-from-checkpoint", default=None)
+    p.add_argument("--learning-rate", type=float, default=1e-5)
+    p.add_argument("--warmup-steps", type=int, default=2000)
+    p.add_argument("--max-train-steps", type=int, default=1_000_000)
+    p.add_argument("--batch-size", type=int, default=8, help="global")
+    p.add_argument("--noise-offset", type=float, default=0.1)
+    p.add_argument("--max-grad-norm", type=float, default=10.0)
+    p.add_argument("--checkpointing-steps", type=int, default=5000)
+    p.add_argument("--no-zero2", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-every", type=int, default=50)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_logging()
+    log = MetricLogger(args.output_dir)
+
+    ds_cfg = common.dataset_from_args(args)
+    if args.synthetic:
+        from rcdms_tpu.data.datasets import SyntheticStoryDataset
+
+        dataset = SyntheticStoryDataset()
+        ds_cfg = dataset.cfg
+        prior_cfg = PriorConfig.tiny(num_text_tokens=ds_cfg.max_text_len)
+        text_cfg = CLIPTextConfig.tiny(
+            max_positions=ds_cfg.max_text_len,
+            vocab_size=49500, eos_token_id=49407,
+            width=prior_cfg.embedding_dim,
+            projection_dim=prior_cfg.embedding_dim)
+        vision_cfg = CLIPVisionConfig.tiny(
+            image_size=ds_cfg.clip_size,
+            projection_dim=prior_cfg.embedding_dim)
+    else:
+        from rcdms_tpu.data.datasets import StoryH5Dataset
+
+        dataset = StoryH5Dataset(ds_cfg, "train", args.tokenizer_path)
+        prior_cfg = PriorConfig(
+            num_text_tokens=ds_cfg.max_text_len,
+            temporal=TemporalConfig(max_frames=ds_cfg.num_frames))
+        text_cfg = CLIPTextConfig.bigg(max_positions=ds_cfg.max_text_len,
+                                       vocab_size=ds_cfg.vocab_size)
+        vision_cfg = CLIPVisionConfig()
+
+    text_enc, text_p = common.build_text_encoder(text_cfg,
+                                                 args.text_pretrained)
+    vis_enc, vis_p = common.build_vision_encoder(vision_cfg,
+                                                 args.vision_pretrained)
+    prior, prior_p = common.build_prior(prior_cfg, args.prior_pretrained)
+
+    trainer = Stage1Trainer(prior, noise_offset=args.noise_offset)
+    tx = make_optimizer(OptimizerConfig(
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        max_steps=args.max_train_steps, grad_clip_norm=args.max_grad_norm))
+    state = TrainState.create(prior_p, tx)
+
+    mesh = make_mesh(MeshConfig())
+    zero2 = not args.no_zero2
+    state = place_state(state, mesh, zero2=zero2)
+    step_fn = make_sharded_train_step(trainer.train_step, state, mesh,
+                                      zero2=zero2)
+    encode = jax.jit(lambda raw: encode_batch(text_enc, text_p, vis_enc,
+                                              vis_p, raw))
+
+    start_step = 0
+    if args.resume_from_checkpoint:
+        restored, meta, start_step = restore_checkpoint(
+            args.resume_from_checkpoint,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step})
+        state = state.replace(**restored)
+        print(f"resumed from step {start_step}")
+
+    n_shards = jax.process_count()
+    batches = dataset.batches(args.batch_size, seed=args.seed,
+                              shard_id=jax.process_index(),
+                              num_shards=n_shards)
+    key = jax.random.PRNGKey(args.seed)
+    timer = StepTimer()
+    for step_i in range(start_step, args.max_train_steps):
+        raw = next(batches)
+        raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        timer.data_loaded()
+        batch = encode(raw)
+        state, loss = step_fn(state, shard_batch(mesh, batch),
+                              jax.random.fold_in(key, step_i))
+        if step_i % args.log_every == 0 or step_i == start_step:
+            step_time, data_time = timer.step_done()
+            log.log(step_i, {"loss": float(loss), "step_time": step_time,
+                             "data_time": data_time})
+            print(f"step {step_i} loss {float(loss):.5f} "
+                  f"({step_time:.2f}s step, {data_time:.2f}s data)")
+        else:
+            timer.step_done()
+        if (step_i + 1) % args.checkpointing_steps == 0:
+            save_checkpoint(args.output_dir, step_i + 1,
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": state.step},
+                            {"last_global_step": step_i + 1})
+    save_checkpoint(args.output_dir, args.max_train_steps,
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step},
+                    {"last_global_step": args.max_train_steps})
+    log.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Stage-2 training CLI — the reference `train_stage2.py` + run_stage2_*.sh
+equivalent (UNet + fusion stacks trained jointly; VAE/CLIP frozen).
+
+    python -m rcdms_tpu.cli.train_stage2 --dataset flintstones \
+        --h5-path .../flintstones.h5 \
+        --sd-pretrained .../stable-diffusion-v1-5 \
+        --vision-pretrained .../kandinsky-2-2-prior/image_encoder \
+        --output-dir runs/stage2
+
+Smoke mode: --synthetic (tiny models, synthetic data, CPU-runnable)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from rcdms_tpu.configs import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    FusionConfig,
+    MeshConfig,
+    OptimizerConfig,
+    StoryUNetConfig,
+    TemporalConfig,
+    VAEConfig,
+)
+from rcdms_tpu.cli import common
+from rcdms_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from rcdms_tpu.train.loop import make_sharded_train_step, place_state
+from rcdms_tpu.train.optim import make_optimizer
+from rcdms_tpu.train.sharding import make_mesh, shard_batch
+from rcdms_tpu.train.stage2 import Stage2Trainer, encode_batch
+from rcdms_tpu.train.train_state import TrainState
+from rcdms_tpu.utils.logging import MetricLogger, StepTimer, setup_logging
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="flintstones",
+                   choices=["flintstones", "pororosv"])
+    p.add_argument("--h5-path", default="./datasets/ARLDM/flintstones.h5")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--sr-dir", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--sd-pretrained", default=None,
+                   help="stable-diffusion-v1-5 dir (unet/, vae/, "
+                        "text_encoder/ subfolders)")
+    p.add_argument("--vision-pretrained", default=None,
+                   help="kandinsky image_encoder dir")
+    p.add_argument("--tokenizer-path", default=None)
+    p.add_argument("--unet-init-ckpt", default=None,
+                   help="orbax checkpoint dir to warm-start the unet")
+    p.add_argument("--output-dir", default="runs/stage2")
+    p.add_argument("--resume-from-checkpoint", default=None)
+    p.add_argument("--learning-rate", type=float, default=1e-5)
+    p.add_argument("--warmup-steps", type=int, default=2000)
+    p.add_argument("--max-train-steps", type=int, default=1_000_000)
+    p.add_argument("--batch-size", type=int, default=8, help="global")
+    p.add_argument("--noise-offset", type=float, default=0.1)
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
+    p.add_argument("--checkpointing-steps", type=int, default=10000)
+    p.add_argument("--gradient-checkpointing", action="store_true")
+    p.add_argument("--no-zero2", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-every", type=int, default=50)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_logging()
+    log = MetricLogger(args.output_dir)
+
+    ds_cfg = common.dataset_from_args(args)
+    if args.synthetic:
+        from rcdms_tpu.data.datasets import SyntheticStoryDataset
+
+        dataset = SyntheticStoryDataset()
+        ds_cfg = dataset.cfg
+        unet_cfg = StoryUNetConfig.tiny(remat=args.gradient_checkpointing)
+        fusion_cfg = FusionConfig.tiny(
+            hidden_dim=unet_cfg.cross_attention_dim,
+            text_dim=unet_cfg.cross_attention_dim)
+        vae_cfg = VAEConfig.tiny()
+        text_cfg = CLIPTextConfig.tiny(max_positions=ds_cfg.max_text_len,
+                                       width=unet_cfg.cross_attention_dim,
+                                       vocab_size=49500, eos_token_id=49407)
+        vision_cfg = CLIPVisionConfig.tiny(
+            image_size=ds_cfg.clip_size, width=fusion_cfg.seen_vis_dim,
+            projection_dim=fusion_cfg.unseen_vis_dim)
+    else:
+        from rcdms_tpu.data.datasets import StoryH5Dataset
+
+        dataset = StoryH5Dataset(ds_cfg, "train", args.tokenizer_path)
+        unet_cfg = StoryUNetConfig(
+            remat=args.gradient_checkpointing,
+            temporal=TemporalConfig(max_frames=ds_cfg.num_frames))
+        fusion_cfg = FusionConfig()
+        vae_cfg = VAEConfig()
+        text_cfg = CLIPTextConfig.sd15(max_positions=ds_cfg.max_text_len,
+                                       vocab_size=ds_cfg.vocab_size)
+        vision_cfg = CLIPVisionConfig()
+
+    sd = args.sd_pretrained
+    text_enc, text_p = common.build_text_encoder(
+        text_cfg, os.path.join(sd, "text_encoder") if sd else None)
+    vis_enc, vis_p = common.build_vision_encoder(vision_cfg,
+                                                 args.vision_pretrained)
+    vae, vae_p = common.build_vae(
+        vae_cfg, os.path.join(sd, "vae") if sd else None)
+    unet, unet_p = common.build_unet(
+        unet_cfg, os.path.join(sd, "unet") if sd else None)
+    fusion, fusion_p = common.build_fusion(fusion_cfg)
+
+    params = {"params": {"unet": unet_p["params"],
+                         "fusion": fusion_p["params"]}}
+    if args.unet_init_ckpt:
+        restored, _, _ = restore_checkpoint(args.unet_init_ckpt,
+                                            {"params": params["params"]})
+        params = {"params": restored["params"]}
+
+    trainer = Stage2Trainer(unet, fusion, noise_offset=args.noise_offset)
+    tx = make_optimizer(OptimizerConfig(
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        max_steps=args.max_train_steps, grad_clip_norm=args.max_grad_norm))
+    state = TrainState.create(params, tx)
+
+    mesh = make_mesh(MeshConfig())
+    zero2 = not args.no_zero2
+    state = place_state(state, mesh, zero2=zero2)
+    step_fn = make_sharded_train_step(trainer.train_step, state, mesh,
+                                      zero2=zero2)
+    encode = jax.jit(lambda raw, k: encode_batch(
+        vae, vae_p, text_enc, text_p, vis_enc, vis_p, raw, k))
+
+    start_step = 0
+    if args.resume_from_checkpoint:
+        restored, meta, start_step = restore_checkpoint(
+            args.resume_from_checkpoint,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step})
+        state = state.replace(**restored)
+        print(f"resumed from step {start_step}")
+
+    batches = dataset.batches(args.batch_size, seed=args.seed,
+                              shard_id=jax.process_index(),
+                              num_shards=jax.process_count())
+    key = jax.random.PRNGKey(args.seed)
+    timer = StepTimer()
+    for step_i in range(start_step, args.max_train_steps):
+        raw = next(batches)
+        raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        timer.data_loaded()
+        batch = encode(raw, jax.random.fold_in(key, 2 * step_i))
+        state, loss = step_fn(state, shard_batch(mesh, batch),
+                              jax.random.fold_in(key, 2 * step_i + 1))
+        if step_i % args.log_every == 0 or step_i == start_step:
+            step_time, data_time = timer.step_done()
+            log.log(step_i, {"loss": float(loss), "step_time": step_time,
+                             "data_time": data_time})
+            print(f"step {step_i} loss {float(loss):.5f} "
+                  f"({step_time:.2f}s step, {data_time:.2f}s data)")
+        else:
+            timer.step_done()
+        if (step_i + 1) % args.checkpointing_steps == 0:
+            save_checkpoint(args.output_dir, step_i + 1,
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": state.step},
+                            {"last_global_step": step_i + 1})
+    save_checkpoint(args.output_dir, args.max_train_steps,
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step},
+                    {"last_global_step": args.max_train_steps})
+    log.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -99,7 +99,9 @@ class StoryUNetConfig:
     layers_per_block: int = 2
     # per-level: does the level have spatial cross-attn transformers?
     cross_attn_levels: Tuple[bool, ...] = (True, True, True, False)
-    head_dim_divisor: int = 8       # SD1.5 `attention_head_dim=8` == num heads
+    # SD1.5's `attention_head_dim=8` is (legacy diffusers naming) the number
+    # of heads; head_dim = channels // num_attention_heads per level.
+    num_attention_heads: int = 8
     cross_attention_dim: int = 768
     norm_groups: int = 32
     norm_eps: float = 1e-5
@@ -113,7 +115,7 @@ class StoryUNetConfig:
     def tiny(cls, **kw) -> "StoryUNetConfig":
         cfg = cls(block_channels=(32, 64), layers_per_block=1,
                   cross_attn_levels=(True, False), norm_groups=8,
-                  cross_attention_dim=24, head_dim_divisor=4,
+                  cross_attention_dim=24, num_attention_heads=4,
                   temporal=TemporalConfig(num_heads=2, num_blocks=1))
         return _replace(cfg, **kw)
 

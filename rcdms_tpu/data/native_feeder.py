@@ -1,0 +1,112 @@
+"""ctypes bindings for the native story feeder (native/story_feeder.cpp):
+multithreaded C++ batch packing so host pixel work overlaps device compute.
+
+Falls back transparently to the numpy protocol when the .so is not built
+(`make -C native`). API mirrors data/protocol.build_story_example for the
+pixel tensors; tokenization stays in Python."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                         "libstory_feeder.so")
+_lib = None
+
+
+def load_library(path: Optional[str] = None):
+    """Load (and memoize) the native library; returns None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = path or os.environ.get("RCDMS_FEEDER_LIB", _LIB_PATH)
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.feeder_create.restype = ctypes.c_void_p
+    lib.feeder_create.argtypes = [ctypes.c_int]
+    lib.feeder_submit_story.restype = None
+    lib.feeder_submit_story.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, f32p, f32p, f32p, f32p]
+    lib.feeder_wait.restype = None
+    lib.feeder_wait.argtypes = [ctypes.c_void_p]
+    lib.feeder_destroy.restype = None
+    lib.feeder_destroy.argtypes = [ctypes.c_void_p]
+    lib.pack_story.restype = None
+    lib.pack_story.argtypes = lib.feeder_submit_story.argtypes[1:]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+class NativeFeeder:
+    """Thread-pooled story packer. Usage:
+
+        feeder = NativeFeeder(num_threads=4)
+        out = feeder.pack_batch(frame_arrays, known_lengths, size, csize)
+    """
+
+    def __init__(self, num_threads: int = 4):
+        self._lib = load_library()
+        if self._lib is None:
+            raise RuntimeError(
+                "libstory_feeder.so not built — run `make -C native`")
+        self._pool = self._lib.feeder_create(num_threads)
+
+    def close(self):
+        if self._pool:
+            self._lib.feeder_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def pack_batch(self, stories: Sequence[np.ndarray],
+                   known_lengths: Sequence[int], size: int,
+                   csize: int) -> Dict[str, np.ndarray]:
+        """stories: list of (f, h, w, 3) uint8 arrays (equal shapes).
+        Returns the batched pixel tensors (b leading dim)."""
+        b = len(stories)
+        f, h, w, _ = stories[0].shape
+        m = size // 8
+        out = {
+            "target": np.empty((b, f, size, size, 3), np.float32),
+            "source": np.empty((b, f, size, size, 3), np.float32),
+            "reference_clip": np.empty((b, f, csize, csize, 3), np.float32),
+            "source_clip": np.empty((b, f, csize, csize, 3), np.float32),
+            "mask_clip": np.empty((b, f, csize, csize, 3), np.float32),
+            "mask_label": np.empty((b, f, m, m, 1), np.float32),
+        }
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        holds = []  # keep contiguous buffers alive until wait()
+        for i, story in enumerate(stories):
+            story = np.ascontiguousarray(story)
+            holds.append(story)
+            self._lib.feeder_submit_story(
+                self._pool, story.ctypes.data_as(u8p), f, h, w, size, csize,
+                int(known_lengths[i]),
+                out["target"][i].ctypes.data_as(f32p),
+                out["source"][i].ctypes.data_as(f32p),
+                out["reference_clip"][i].ctypes.data_as(f32p),
+                out["source_clip"][i].ctypes.data_as(f32p),
+                out["mask_clip"][i].ctypes.data_as(f32p),
+                out["mask_label"][i].ctypes.data_as(f32p))
+        self._lib.feeder_wait(self._pool)
+        out["frame_known"] = (np.arange(f)[None, :]
+                              < np.asarray(known_lengths)[:, None])
+        return out

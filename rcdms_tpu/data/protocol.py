@@ -1,0 +1,181 @@
+"""Host-side story preprocessing protocol (pure numpy — no torch).
+
+Re-implements the reference dataset semantics (`mydatasets/flintstones.py`,
+`mydatasets/pororosv.py`) with the TPU-native NHWC/(b, f, ...) layouts:
+
+  * CLIP image preprocessing (resize-shortest-224 bicubic, center crop,
+    CLIP mean/std) == `CLIPImageProcessor()` defaults.
+  * target images: resize to size^2, scale to [-1, 1]   (flintstones.py:76-81)
+  * known-prefix masking: length ~ U{0..4}; `source` = first L real frames +
+    black; per-frame mask maps (size/8)^2 all-ones/zeros; white/black CLIP
+    mask images                                          (flintstones.py:151-199)
+  * captions lowercased, 10% dropped to "" for CFG, tokenized to
+    max_length 91/85 with truncation disabled            (flintstones.py:206-226)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rcdms_tpu.configs import DatasetConfig
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _resize(img: np.ndarray, size_hw) -> np.ndarray:
+    """Bicubic resize via PIL (matches transformers' default resampling)."""
+    from PIL import Image
+
+    pil = Image.fromarray(img)
+    return np.asarray(pil.resize((size_hw[1], size_hw[0]), Image.BICUBIC))
+
+
+def clip_preprocess(img: np.ndarray, size: int = 224) -> np.ndarray:
+    """uint8 HWC RGB -> CLIP-normalized float32 (size, size, 3)."""
+    h, w = img.shape[:2]
+    scale = size / min(h, w)
+    nh, nw = round(h * scale), round(w * scale)
+    img = _resize(img, (nh, nw))
+    top, left = (nh - size) // 2, (nw - size) // 2
+    img = img[top:top + size, left:left + size]
+    img = img.astype(np.float32) / 255.0
+    return (img - CLIP_MEAN) / CLIP_STD
+
+
+def pixel_preprocess(img: np.ndarray, size: int = 512) -> np.ndarray:
+    """uint8 HWC RGB -> [-1, 1] float32 (size, size, 3) (square resize, not
+    aspect-preserving, matching the reference's `transforms.Resize([s, s])`)."""
+    img = _resize(img, (size, size))
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+def black_image(size: int) -> np.ndarray:
+    return np.zeros((size, size, 3), np.uint8)
+
+
+def white_image(size: int) -> np.ndarray:
+    return np.full((size, size, 3), 255, np.uint8)
+
+
+@dataclass
+class StoryTokenizer:
+    """CLIP tokenizer wrapper: adds the dataset character tokens and pads to
+    the dataset max length with truncation disabled (the reference table at
+    `train_stage1.py:82-85`). Falls back to a deterministic hash tokenizer
+    when no pretrained tokenizer files are available (tests/benches)."""
+
+    cfg: DatasetConfig
+    tokenizer_path: Optional[str] = None
+
+    def __post_init__(self):
+        self._tok = None
+        if self.tokenizer_path is not None:
+            from transformers import CLIPTokenizer
+
+            self._tok = CLIPTokenizer.from_pretrained(self.tokenizer_path)
+            self._tok.add_tokens(list(self.cfg.new_tokens))
+
+    @property
+    def eos_token_id(self) -> int:
+        return self._tok.eos_token_id if self._tok is not None else 49407
+
+    def __call__(self, texts: Sequence[str]) -> Dict[str, np.ndarray]:
+        max_len = self.cfg.max_text_len
+        if self._tok is not None:
+            out = self._tok(list(texts), padding="max_length",
+                            max_length=max_len, truncation=False,
+                            return_tensors="np")
+            ids = out["input_ids"].astype(np.int32)
+            mask = out["attention_mask"].astype(bool)
+            if ids.shape[1] > max_len:  # truncation=False can overflow
+                ids, mask = ids[:, :max_len], mask[:, :max_len]
+                ids[:, -1] = self.eos_token_id
+            return {"input_ids": ids, "attention_mask": mask}
+        # hash fallback: bos, per-word ids, eos, pad-with-eos (CLIP pads
+        # with eos token by default)
+        bos, eos = 49406, 49407
+        ids = np.full((len(texts), max_len), eos, np.int32)
+        mask = np.zeros((len(texts), max_len), bool)
+        for i, t in enumerate(texts):
+            words = t.lower().split()[: max_len - 2]
+            row = [bos] + [hash(w) % 49000 for w in words] + [eos]
+            ids[i, : len(row)] = np.asarray(row, np.int32)
+            mask[i, : len(row)] = True
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def build_story_example(
+    frames: Sequence[np.ndarray],
+    captions: Sequence[str],
+    known_length: int,
+    tokenizer: StoryTokenizer,
+    tokenizer_uncond: Optional[StoryTokenizer] = None,
+    cfg: Optional[DatasetConfig] = None,
+    text_drop_mask: Optional[Sequence[bool]] = None,
+) -> Dict[str, np.ndarray]:
+    """One story -> the full training/inference example dict, frames-first
+    layouts. `frames`: list of f uint8 HWC images; `known_length` in [0, f].
+
+    Keys (f = num frames, s = image size, c = clip size):
+      target        (f, s, s, 3)  [-1, 1]
+      source        (f, s, s, 3)  known frames + black
+      reference_clip(f, c, c, 3)  CLIP-processed real frames (all)
+      source_clip   (f, c, c, 3)  CLIP-processed known + black
+      mask_clip     (f, c, c, 3)  CLIP-processed white(known)/black
+      mask_label    (f, s/8, s/8, 1) {0,1}
+      input_ids     (f, T) int32 / text_mask (f, T) bool
+      frame_known   (f,) bool
+    """
+    cfg = cfg or DatasetConfig()
+    f = len(frames)
+    size, csize = cfg.image_size, cfg.clip_size
+    m = size // 8
+
+    black_px = pixel_preprocess(black_image(size), size)
+    black_cl = clip_preprocess(black_image(size), csize)
+    white_cl = clip_preprocess(white_image(size), csize)
+
+    target = np.stack([pixel_preprocess(fr, size) for fr in frames])
+    reference_clip = np.stack([clip_preprocess(fr, csize) for fr in frames])
+
+    known = np.arange(f) < known_length
+    source = np.stack([target[i] if known[i] else black_px for i in range(f)])
+    source_clip = np.stack([reference_clip[i] if known[i] else black_cl
+                            for i in range(f)])
+    mask_clip = np.stack([white_cl if known[i] else black_cl
+                          for i in range(f)])
+    mask_label = known.astype(np.float32)[:, None, None, None]
+    mask_label = np.broadcast_to(mask_label, (f, m, m, 1)).copy()
+
+    caps: List[str] = [c.lower() for c in captions]
+    if text_drop_mask is not None:
+        caps = ["" if d else c for c, d in zip(caps, text_drop_mask)]
+    toks = tokenizer(caps)
+
+    out = {
+        "target": target,
+        "source": source,
+        "reference_clip": reference_clip,
+        "source_clip": source_clip,
+        "mask_clip": mask_clip,
+        "mask_label": mask_label,
+        "input_ids": toks["input_ids"],
+        "text_mask": toks["attention_mask"],
+        "frame_known": known,
+    }
+    if tokenizer_uncond is not None:
+        utoks = tokenizer_uncond([""] * f)
+        out["input_ids_uncond"] = utoks["input_ids"]
+        out["text_mask_uncond"] = utoks["attention_mask"]
+    return out
+
+
+def collate(examples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack example dicts to a batch: every key gains a leading batch dim
+    (unlike the reference Collate_fn, input_ids keep an explicit (b, f, T)
+    shape rather than being flattened to (b*f, T))."""
+    return {k: np.stack([e[k] for e in examples]) for k in examples[0]}

@@ -1,0 +1,99 @@
+"""Pallas TPU fused-attention kernel (SURVEY.md §7 step 8).
+
+One grid cell = one (batch*head, q-block): the q block, the FULL K/V for
+that head, and the fp32 score tile all live in VMEM, so the softmax never
+round-trips HBM (at RCDMs scales — spatial seq <= 4096, head_dim <= 160 —
+K/V per head is <= ~2 MB, far under the ~16 MB VMEM budget; no online-
+softmax streaming needed). Inputs may be bf16; scores and the
+softmax run in fp32 on the MXU/VPU.
+
+Non-128-aligned head dims (SD1.5 uses 40/80/160) are zero-padded — padding
+K/V feature columns does not change q.k^T, and padded V columns are sliced
+off the output. Padded KV *rows* are masked with -inf before the softmax.
+
+The XLA path in rcdms_tpu.ops.attention is the correctness oracle; tests
+run this kernel in interpret mode on CPU against it."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+LANE = 128
+DEFAULT_Q_BLOCK = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    q = q_ref[0]            # (blk_q, d)
+    k = k_ref[0]            # (S_kv_pad, d)
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    if kv_len != k.shape[0]:  # mask padded kv rows
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < kv_len, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "q_block", "interpret"))
+def flash_attention(q: Array, k: Array, v: Array, scale: float,
+                    q_block: int = DEFAULT_Q_BLOCK,
+                    interpret: bool = False) -> Array:
+    """q: (..., Sq, d); k/v: (..., Skv, d) with identical leading dims.
+    Returns (..., Sq, d) in q.dtype."""
+    orig_shape = q.shape
+    *lead, sq, d = q.shape
+    skv = k.shape[-2]
+    B = math.prod(lead) if lead else 1
+
+    d_pad = _round_up(max(d, LANE), LANE)
+    sq_pad = _round_up(sq, q_block)
+    skv_pad = _round_up(skv, LANE)
+
+    def prep(t, s_pad):
+        t = t.reshape(B, t.shape[-2], d)
+        return jnp.pad(t, ((0, 0), (0, s_pad - t.shape[1]), (0, d_pad - d)))
+
+    qp, kp, vp = prep(q, sq_pad), prep(k, skv_pad), prep(v, skv_pad)
+
+    grid = (B, sq_pad // q_block)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, kv_len=skv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, d_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, sq_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * sq_pad * skv_pad * d_pad,
+            bytes_accessed=(B * (sq_pad + 2 * skv_pad) * d_pad
+                            * q.dtype.itemsize),
+            transcendentals=B * sq_pad * skv_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq, :d].reshape(orig_shape)

@@ -1,0 +1,63 @@
+"""Sharded training-step compilation: wires a Stage{1,2}Trainer step under
+jit over the device mesh with DP batch sharding and ZeRO-2 optimizer-state
+sharding (the whole `accelerate launch --use_deepspeed` stack,
+`run_stage*.sh:4-6`, collapses into these in/out shardings)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rcdms_tpu.train.sharding import (
+    batch_sharding,
+    replicated,
+    replicated_shardings,
+    zero2_opt_state_shardings,
+)
+from rcdms_tpu.train.train_state import TrainState
+
+
+def state_shardings(state: TrainState, mesh: Mesh,
+                    zero2: bool = True) -> TrainState:
+    """Sharding pytree matching TrainState: params replicated, optimizer
+    state sharded over 'data' (ZeRO-2) when enabled."""
+    params_sh = replicated_shardings(state.params, mesh)
+    opt_sh = (zero2_opt_state_shardings(state.opt_state, mesh)
+              if zero2 else replicated_shardings(state.opt_state, mesh))
+    return state.replace(step=replicated(mesh), params=params_sh,
+                         opt_state=opt_sh)
+
+
+def make_sharded_train_step(train_step: Callable, state: TrainState,
+                            mesh: Mesh, zero2: bool = True,
+                            donate: bool = True) -> Callable:
+    """Compile `train_step(state, batch, key) -> (state, loss)` with GSPMD
+    shardings. `state` is only used for its structure."""
+    st_sh = state_shardings(state, mesh, zero2)
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+
+    def batch_shardings(batch):
+        return jax.tree_util.tree_map(lambda _: b_sh, batch)
+
+    def fn(state, batch, key):
+        return train_step(state, batch, key)
+
+    return jax.jit(
+        fn,
+        in_shardings=(st_sh, None, r_sh),
+        out_shardings=(st_sh, r_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def place_state(state: TrainState, mesh: Mesh,
+                zero2: bool = True) -> TrainState:
+    """Device-place an initialized state according to its shardings."""
+    sh = state_shardings(state, mesh, zero2)
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    flat_sh = jax.tree_util.tree_leaves(sh)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.device_put(x, s) for x, s in zip(flat, flat_sh)])

@@ -1,15 +1,20 @@
 """Test config: run everything on a virtual 8-device CPU mesh so the GSPMD
 data-parallel path is exercised without TPU hardware (the idiomatic JAX
-equivalent of 'test multi-node without a cluster' — SURVEY.md §4)."""
+equivalent of 'test multi-node without a cluster' — SURVEY.md §4).
+
+NOTE this box's sitecustomize imports jax and registers the axon TPU plugin
+before ANY user code runs, so env vars (JAX_PLATFORMS / XLA_FLAGS) are read
+too late — the overrides must go through jax.config.update, which works as
+long as no backend has been initialized yet."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
 
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+# single-core box: persist compiled executables across pytest runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,128 @@
+"""Sampler tests: tiny end-to-end prior + story sampling, seed determinism,
+noise injection for parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcdms_tpu.configs import FusionConfig, PriorConfig, StoryUNetConfig
+from rcdms_tpu.models.fusion import FusionModule
+from rcdms_tpu.models.prior import FramePrior
+from rcdms_tpu.models.unet3d import StoryUNet
+from rcdms_tpu.sample.prior_sampler import PriorConditioning, PriorSampler
+from rcdms_tpu.sample.story_sampler import StoryConditioning, StorySampler
+
+
+def _prior_setup(key, b=1, steps=3):
+    cfg = PriorConfig.tiny()
+    f, d, t = cfg.num_frames, cfg.embedding_dim, cfg.num_text_tokens
+    model = FramePrior(cfg)
+    ks = jax.random.split(key, 8)
+    cond = PriorConditioning(
+        text_embed=jax.random.normal(ks[0], (b, f, d)),
+        text_hidden=jax.random.normal(ks[1], (b, f, t, d)),
+        text_mask=jnp.ones((b, f, t), bool),
+        text_embed_u=jax.random.normal(ks[2], (b, f, d)),
+        text_hidden_u=jax.random.normal(ks[3], (b, f, t, d)),
+        text_mask_u=jnp.ones((b, f, t), bool),
+        image_embed=jax.random.normal(ks[4], (b, f, d)),
+        mask_embed=jax.random.normal(ks[5], (b, f, d)),
+    )
+    params = model.init(ks[6], cond.text_embed, jnp.zeros((b, f), jnp.int32),
+                        cond.text_embed, cond.text_hidden, cond.image_embed,
+                        cond.mask_embed, cond.text_mask)
+    sampler = PriorSampler(model, num_steps=steps, guidance_scale=2.0)
+    return sampler, params, cond
+
+
+def test_prior_sampler_shapes_and_determinism():
+    key = jax.random.PRNGKey(0)
+    sampler, params, cond = _prior_setup(key)
+    run = jax.jit(sampler.__call__)
+    out1 = run(params, cond, jax.random.PRNGKey(7))
+    out2 = run(params, cond, jax.random.PRNGKey(7))
+    out3 = run(params, cond, jax.random.PRNGKey(8))
+    assert out1.shape == (1, 5, 16)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.abs(np.asarray(out1 - out3)).max() > 1e-6
+    assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_prior_sampler_injected_latents_reproducible():
+    key = jax.random.PRNGKey(1)
+    sampler, params, cond = _prior_setup(key)
+    init = jnp.ones((1, 5, 16)) * 0.3
+    out1 = sampler(params, cond, jax.random.PRNGKey(0), init_latents=init)
+    out2 = sampler(params, cond, jax.random.PRNGKey(0), init_latents=init)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_prior_sampler_guidance_scale_changes_output():
+    key = jax.random.PRNGKey(2)
+    s1, params, cond = _prior_setup(key)
+    s2 = PriorSampler(s1.model, num_steps=3, guidance_scale=5.0)
+    o1 = s1(params, cond, jax.random.PRNGKey(0))
+    o2 = s2(params, cond, jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(o1 - o2)).max() > 1e-6
+
+
+def test_prior_autoregressive_commits_unknown_frames():
+    key = jax.random.PRNGKey(9)
+    sampler, params, cond = _prior_setup(key, steps=2)
+    white = jnp.full((1, 16), 0.7)
+    # frames 0-1 known: their mask embeds equal the white embed
+    mask_embed = cond.mask_embed.at[:, :2].set(white[:, None, :])
+    cond = cond._replace(mask_embed=mask_embed)
+    out = sampler.autoregressive(params, cond, jax.random.PRNGKey(1), white)
+    assert out.shape == (1, 5, 16)
+    # known frames keep their original conditioning embeddings
+    np.testing.assert_array_equal(np.asarray(out[:, :2]),
+                                  np.asarray(cond.image_embed[:, :2]))
+    # unknown frames were replaced by predictions
+    assert np.abs(np.asarray(out[:, 2:] - cond.image_embed[:, 2:])).min() > 0
+
+
+def _story_setup(key, b=1, hw=16, steps=2):
+    ucfg = StoryUNetConfig.tiny()
+    fcfg = FusionConfig.tiny(hidden_dim=ucfg.cross_attention_dim,
+                             text_dim=ucfg.cross_attention_dim)
+    unet, fusion = StoryUNet(ucfg), FusionModule(fcfg)
+    f, t = 5, 7
+    ks = jax.random.split(key, 8)
+    cond = StoryConditioning(
+        text_hidden=jax.random.normal(ks[0], (b, f, t, fcfg.text_dim)),
+        text_hidden_u=jax.random.normal(ks[1], (b, f, t, fcfg.text_dim)),
+        image_tokens=jax.random.normal(ks[2], (b, f, 9, fcfg.seen_vis_dim)),
+        image_proj=jax.random.normal(ks[3], (b, f, fcfg.unseen_vis_dim)),
+        frame_known=jnp.array([[1, 1, 0, 0, 0]] * b, bool),
+        masked_latents=jax.random.normal(ks[4], (b, f, hw, hw, 4)),
+        mask_label=jnp.ones((b, f, hw, hw, 1)),
+    )
+    fusion_p = fusion.init(ks[5], cond.image_tokens, cond.image_proj,
+                           cond.text_hidden, cond.frame_known)
+    x9 = jnp.zeros((b, f, hw, hw, ucfg.in_channels))
+    ctx = jnp.zeros((b, f, t, ucfg.cross_attention_dim))
+    unet_p = unet.init(ks[6], x9, jnp.zeros((b,), jnp.int32), ctx)
+    sampler = StorySampler(unet, fusion, num_steps=steps, guidance_scale=2.0)
+    return sampler, unet_p, fusion_p, cond
+
+
+def test_story_sampler_shapes_and_determinism():
+    key = jax.random.PRNGKey(3)
+    sampler, unet_p, fusion_p, cond = _story_setup(key)
+    run = jax.jit(sampler.__call__)
+    out1 = run(unet_p, fusion_p, cond, jax.random.PRNGKey(1))
+    out2 = run(unet_p, fusion_p, cond, jax.random.PRNGKey(1))
+    assert out1.shape == (1, 5, 16, 16, 4)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_story_sampler_batch2():
+    """The reference pipeline is hard-wired to batch 1
+    (`RCDMs_pipeline.py:408`, `:476`); ours must batch."""
+    key = jax.random.PRNGKey(4)
+    sampler, unet_p, fusion_p, cond = _story_setup(key, b=2)
+    out = sampler(unet_p, fusion_p, cond, jax.random.PRNGKey(1))
+    assert out.shape == (2, 5, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
