@@ -30,7 +30,8 @@ import jax.numpy as jnp
 BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
 
 
-def build(tiny: bool):
+def build(tiny: bool, params_dtype: str = "float32",
+          use_temporal: bool = True, temporal_attn_layers: int = 2):
     from rcdms_tpu.configs import FusionConfig, StoryUNetConfig
     from rcdms_tpu.models.fusion import FusionModule
     from rcdms_tpu.models.unet3d import StoryUNet
@@ -38,12 +39,17 @@ def build(tiny: bool):
 
     dtype = jnp.bfloat16
     if tiny:
-        ucfg = StoryUNetConfig.tiny()
+        ucfg = StoryUNetConfig.tiny(use_temporal=use_temporal)
         fcfg = FusionConfig.tiny(hidden_dim=ucfg.cross_attention_dim,
                                  text_dim=ucfg.cross_attention_dim)
         hw, n_vis, steps = 8, 9, 3
     else:
-        ucfg = StoryUNetConfig()      # SD1.5-scale
+        from rcdms_tpu.configs import TemporalConfig
+
+        ucfg = StoryUNetConfig(  # SD1.5-scale
+            use_temporal=use_temporal,
+            temporal=TemporalConfig(
+                attn_layers_per_block=temporal_attn_layers))
         fcfg = FusionConfig()
         hw, n_vis, steps = 64, 257, 20
 
@@ -67,9 +73,12 @@ def build(tiny: bool):
         mask_label=jnp.ones((b, f, hw, hw, 1), dtype),
     )
 
+    pdt = jnp.dtype(params_dtype)
+
     def zeros_like_tree(tree):
         return jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+            lambda s: jnp.zeros(s.shape, pdt if s.dtype == jnp.float32
+                                else s.dtype), tree)
 
     x9 = jnp.zeros((b, f, hw, hw, ucfg.in_channels), dtype)
     ctx = jnp.zeros((b, f, t, ucfg.cross_attention_dim), dtype)
@@ -87,7 +96,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--attn", default="auto", choices=["auto", "xla",
+                                                       "pallas"])
+    ap.add_argument("--params-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--no-temporal", action="store_true",
+                    help="diagnostic: drop temporal modules")
+    ap.add_argument("--temporal-attn-layers", type=int, default=2,
+                    help="diagnostic: temporal attention layers per block")
     args = ap.parse_args()
+
+    from rcdms_tpu.ops.attention import set_default_attention_impl
+    set_default_attention_impl(args.attn)
 
     import os
 
@@ -95,7 +115,9 @@ def main():
                       os.path.expanduser("~/.cache/jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    sampler, unet_p, fusion_p, cond, frames, steps = build(args.tiny)
+    sampler, unet_p, fusion_p, cond, frames, steps = build(
+        args.tiny, args.params_dtype, use_temporal=not args.no_temporal,
+        temporal_attn_layers=args.temporal_attn_layers)
     run = jax.jit(sampler.__call__)
 
     def sync(x):
@@ -132,6 +154,8 @@ def main():
         "compile_plus_first_run_s": round(compile_and_first, 2),
         "backend": jax.default_backend(),
         "tiny": args.tiny,
+        "attn": args.attn,
+        "params_dtype": args.params_dtype,
     }
     print(json.dumps(result))
     return 0

@@ -12,9 +12,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rcdms_tpu.core.layers import FeedForward, GroupNorm, LayerNorm
-from rcdms_tpu.ops.attention import dot_product_attention
+from rcdms_tpu.ops.attention import (
+    dot_product_attention,
+    get_default_attention_impl,
+)
 
 Array = jax.Array
+
+
+def _use_frame_kernel() -> bool:
+    impl = get_default_attention_impl()
+    if impl == "xla":
+        return False
+    return impl == "pallas" or jax.default_backend() == "tpu"
 
 
 class Attention(nn.Module):
@@ -44,6 +54,17 @@ class Attention(nn.Module):
                      name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="to_v")(ctx)
+
+        # tiny-sequence self-attention (the f=5 temporal axis): dispatch to
+        # the Pallas frame-attention kernel — computed as batched matmuls it
+        # wastes >95% of each MXU tile (see ops/frame_attention.py)
+        if (context is None and mask is None and x.shape[-2] <= 8
+                and _use_frame_kernel()):
+            from rcdms_tpu.ops.frame_attention import frame_attention
+
+            o = frame_attention(q, k, v, self.heads,
+                                scale=self.head_dim ** -0.5)
+            return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(o)
 
         def split_heads(t):
             t = t.reshape(t.shape[:-1] + (self.heads, self.head_dim))

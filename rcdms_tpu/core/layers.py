@@ -95,16 +95,26 @@ class GroupNorm(nn.Module):
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
-        lead = xf.shape[: -(self.spatial_axes + 1)]
-        spatial = xf.shape[-(self.spatial_axes + 1): -1]
-        xg = xf.reshape(lead + (math.prod(spatial) if spatial else 1, g, c // g))
-        mean = xg.mean(axis=(-3, -1), keepdims=True)
-        var = xg.var(axis=(-3, -1), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        xf = xg.reshape(x.shape)
+        # Keep the (..., c) layout end to end: a (..., g, c/g) view would put
+        # c/g (e.g. 10) in the TPU lane dim and pad it ~13x. Reduce over
+        # spatial in native layout, then group the tiny per-channel moments.
+        spatial_axes = tuple(range(x.ndim - 1 - self.spatial_axes, x.ndim - 1))
+        s1 = jnp.mean(xf, axis=spatial_axes)            # (lead, c)
+        s2 = jnp.mean(xf * xf, axis=spatial_axes)       # (lead, c)
+        lead = s1.shape[:-1]
+        mean_g = s1.reshape(lead + (g, c // g)).mean(-1)
+        ex2_g = s2.reshape(lead + (g, c // g)).mean(-1)
+        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        mean_c = jnp.repeat(mean_g, c // g, axis=-1)    # (lead, c)
+        inv_c = jnp.repeat(jax.lax.rsqrt(var_g + self.eps), c // g, axis=-1)
+
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return (xf * scale + bias).astype(orig_dtype)
+        # fold affine into the broadcast factors: one fused elementwise pass
+        mul = inv_c * scale                             # (lead, c)
+        add = bias - mean_c * mul
+        expand = (slice(None),) * len(lead) + (None,) * self.spatial_axes
+        return (xf * mul[expand] + add[expand]).astype(orig_dtype)
 
 
 class LayerNorm(nn.Module):

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 LANE = 128
-DEFAULT_Q_BLOCK = 256
+DEFAULT_Q_BLOCK = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -63,6 +63,10 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     skv = k.shape[-2]
     B = math.prod(lead) if lead else 1
 
+    # Mosaic requires lane-aligned block shapes on hardware (unaligned lane
+    # dims fail with 'unsupported shape cast'), so head_dim/kv pads are
+    # explicit HBM pads. TODO(perf): fold the pad into the projection that
+    # produces q/k/v.
     d_pad = _round_up(max(d, LANE), LANE)
     sq_pad = _round_up(sq, q_block)
     skv_pad = _round_up(skv, LANE)

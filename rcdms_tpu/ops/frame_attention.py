@@ -1,0 +1,151 @@
+"""Pallas TPU kernel for temporal (frame-axis) attention.
+
+The story's temporal attention is seq_len = f = 5 at every pixel: computed
+as batched matmuls (the reference's rearrange + baddbmm, or a naive einsum)
+it degenerates to ~10^5 tiny (5 x head_dim) MXU ops, each wasting >95% of
+the 128x128 tile — measured at ~34% of the whole stage-2 sampling time.
+
+This kernel never forms tiny matmuls. For a block of B pixel rows it keeps
+q/k/v tiles (B, f, c) resident in VMEM with the full channel axis c = h*dh
+in the lane dimension and computes, per (i, j) frame pair:
+
+    s_ij (B, h) = (q_i * k_j) @ SEG          # SEG (c, h): head segment sums
+    out_i      += (p_ij @ SEG^T) * v_j       # broadcast p back over channels
+
+i.e. the head-wise dot products become one big elementwise multiply plus a
+skinny (c x h) matmul, and the softmax runs on (B, h) tiles — everything in
+fp32, everything lane-aligned, one HBM pass in and out.
+
+f is a static small int (<= 8); B is padded to the block size (padded rows
+compute garbage that is sliced off — softmax stays finite since all f
+entries are real)."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+LANE = 128
+DEFAULT_BLOCK = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, seg_ref, segt_ref, o_ref, *,
+            f: int, scale: float):
+    seg = seg_ref[...]            # (c_pad, h)
+    segt = segt_ref[...]          # (h, c_pad)
+
+    for i in range(f):
+        # re-read slices per use: VMEM refs are cheap, and short live
+        # ranges keep Mosaic's scoped-vmem footprint small
+        q_i = q_ref[:, i, :].astype(jnp.float32) * scale
+        # logits over heads: s[j] (B, h)
+        s = [jax.lax.dot_general(
+                q_i * k_ref[:, j, :].astype(jnp.float32), seg,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+             for j in range(f)]
+        m = s[0]
+        for j in range(1, f):
+            m = jnp.maximum(m, s[j])
+        denom = None
+        for j in range(f):
+            s[j] = jnp.exp(s[j] - m)
+            denom = s[j] if denom is None else denom + s[j]
+        inv = 1.0 / denom
+        acc = None
+        for j in range(f):
+            p_c = jax.lax.dot_general(s[j] * inv, segt,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            term = p_c * v_ref[:, j, :].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+        o_ref[:, i, :] = acc.astype(o_ref.dtype)
+
+
+def _pick_block(f: int, c_pad: int, itemsize: int) -> int:
+    """Largest power-of-two block keeping q/k/v/o tiles (double-buffered) +
+    fp32 scratch under ~10 MB of VMEM."""
+    budget = 8 * 1024 * 1024
+    per_row = f * c_pad * itemsize * 8 + c_pad * 4 * 8
+    block = budget // per_row
+    p = 64
+    while p * 2 <= min(block, DEFAULT_BLOCK):
+        p *= 2
+    return p
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "block", "interpret"))
+def frame_attention(q: Array, k: Array, v: Array, heads: int,
+                    scale: float | None = None, block: int | None = None,
+                    interpret: bool = False) -> Array:
+    """Temporal self-attention over the second-to-last (frame) axis.
+
+    q, k, v: (..., f, c) with c = heads * head_dim; f <= 8 static.
+    Returns (..., f, c) in q.dtype — equal to multi-head softmax attention
+    with the frame axis as the sequence."""
+    *lead, f, c = q.shape
+    assert f <= 8, f"frame_attention is for tiny frame axes, got f={f}"
+    assert c % heads == 0
+    dh = c // heads
+    if scale is None:
+        scale = dh ** -0.5
+    B = math.prod(lead) if lead else 1
+
+    c_pad = _round_up(c, LANE)
+    if block is None:
+        block = _pick_block(f, c_pad, q.dtype.itemsize)
+    b_pad = _round_up(B, block)
+
+    def prep(t):
+        t = t.reshape(B, f, c)
+        return jnp.pad(t, ((0, b_pad - B), (0, 0), (0, c_pad - c)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+
+    # head-segment matrix: SEG[d, h] = 1 iff channel d belongs to head h
+    seg = np.zeros((c_pad, heads), np.float32)
+    for h in range(heads):
+        seg[h * dh:(h + 1) * dh, h] = 1.0
+    seg = jnp.asarray(seg)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, f=f, scale=scale),
+        grid=(b_pad // block,),
+        in_specs=[
+            pl.BlockSpec((block, f, c_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, f, c_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, f, c_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, heads), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, f, c_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, f, c_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * f * f * c_pad * 2,
+            bytes_accessed=4 * b_pad * f * c_pad * q.dtype.itemsize,
+            transcendentals=b_pad * f * f * heads,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(qp, kp, vp, seg, seg.T)
+    return out[:B, :, :c].reshape(q.shape)
