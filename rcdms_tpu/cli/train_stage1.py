@@ -63,6 +63,7 @@ def parse_args(argv=None):
     p.add_argument("--max-grad-norm", type=float, default=10.0)
     p.add_argument("--checkpointing-steps", type=int, default=5000)
     p.add_argument("--no-zero2", action="store_true")
+    p.add_argument("--accumulate-steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50)
     return p.parse_args(argv)
@@ -71,6 +72,9 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     setup_logging()
+    from rcdms_tpu.train.distributed import maybe_initialize
+
+    maybe_initialize()
     log = MetricLogger(args.output_dir)
 
     ds_cfg = common.dataset_from_args(args)
@@ -108,7 +112,8 @@ def main(argv=None):
     trainer = Stage1Trainer(prior, noise_offset=args.noise_offset)
     tx = make_optimizer(OptimizerConfig(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
-        max_steps=args.max_train_steps, grad_clip_norm=args.max_grad_norm))
+        max_steps=args.max_train_steps, grad_clip_norm=args.max_grad_norm,
+        accumulate_steps=args.accumulate_steps))
     state = TrainState.create(prior_p, tx)
 
     mesh = make_mesh(MeshConfig())

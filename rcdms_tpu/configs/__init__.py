@@ -277,6 +277,7 @@ class OptimizerConfig:
     max_steps: int = 1_000_000
     grad_clip_norm: Optional[float] = 1.0
     schedule: str = "constant_with_warmup"
+    accumulate_steps: int = 1  # gradient accumulation (optax.MultiSteps)
 
 
 @dataclass(frozen=True)

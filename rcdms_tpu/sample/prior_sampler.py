@@ -45,9 +45,14 @@ class PriorSampler:
     guidance_scale: float = 2.0  # reference default (`stage1_batchtest:286`)
 
     def __call__(self, params, cond: PriorConditioning, key: Array,
-                 init_latents: Optional[Array] = None) -> Array:
+                 init_latents: Optional[Array] = None,
+                 step_noise: Optional[Array] = None) -> Array:
         """Returns (b, f, embedding_dim) predicted CLIP image embeddings
-        (denormalized, ready for stage 2)."""
+        (denormalized, ready for stage 2).
+
+        `init_latents` (b, f, d) and `step_noise` (num_steps, b, f, d) may be
+        injected so parity tests can feed noise generated elsewhere (e.g. by
+        the torch reference at equal seeds — SURVEY.md §7 'hard parts')."""
         b, f, _ = cond.text_embed.shape
         d = self.model.cfg.embedding_dim
         do_cfg = self.guidance_scale > 1.0
@@ -83,7 +88,11 @@ class PriorSampler:
             if do_cfg:
                 pred_u, pred_c = jnp.split(pred, 2)
                 pred = cfg_combine(pred_u, pred_c, self.guidance_scale)
-            noise = jax.random.normal(jax.random.fold_in(key, i), lat.shape)
+            if step_noise is None:
+                noise = jax.random.normal(jax.random.fold_in(key, i),
+                                          lat.shape)
+            else:
+                noise = step_noise[i]
             lat = self.schedule.step(pred, t, prev_t, lat, noise)
             return lat, None
 

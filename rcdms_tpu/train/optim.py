@@ -31,4 +31,9 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     chain.append(optax.adamw(
         learning_rate=make_schedule(cfg), b1=cfg.beta1, b2=cfg.beta2,
         eps=cfg.eps, weight_decay=cfg.weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.accumulate_steps > 1:
+        # gradient accumulation (reference `gradient_accumulation_steps`,
+        # train_stage2.py:494): microbatch gradients averaged over N steps
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_steps)
+    return tx
