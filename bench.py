@@ -31,7 +31,8 @@ BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
 
 
 def build(tiny: bool, params_dtype: str = "float32",
-          use_temporal: bool = True, temporal_attn_layers: int = 2):
+          use_temporal: bool = True, temporal_attn_layers: int = 2,
+          batch: int = 1):
     from rcdms_tpu.configs import FusionConfig, StoryUNetConfig
     from rcdms_tpu.models.fusion import FusionModule
     from rcdms_tpu.models.unet3d import StoryUNet
@@ -57,7 +58,7 @@ def build(tiny: bool, params_dtype: str = "float32",
     fusion = FusionModule(fcfg, dtype=dtype)
     sampler = StorySampler(unet, fusion, num_steps=steps, guidance_scale=2.0)
 
-    b, f, t = 1, ucfg.num_frames, 91 if not tiny else 7
+    b, f, t = batch, ucfg.num_frames, 91 if not tiny else 7
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 6)
     cond = StoryConditioning(
@@ -104,6 +105,8 @@ def main():
                     help="diagnostic: drop temporal modules")
     ap.add_argument("--temporal-attn-layers", type=int, default=2,
                     help="diagnostic: temporal attention layers per block")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="stories per batch (BASELINE config #4 uses 8)")
     args = ap.parse_args()
 
     from rcdms_tpu.ops.attention import set_default_attention_impl
@@ -117,7 +120,8 @@ def main():
 
     sampler, unet_p, fusion_p, cond, frames, steps = build(
         args.tiny, args.params_dtype, use_temporal=not args.no_temporal,
-        temporal_attn_layers=args.temporal_attn_layers)
+        temporal_attn_layers=args.temporal_attn_layers, batch=args.batch)
+    frames = frames * args.batch
     run = jax.jit(sampler.__call__)
 
     def sync(x):

@@ -43,16 +43,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(q_ref, k_ref, v_ref, seg_ref, segt_ref, o_ref, *,
             f: int, scale: float):
-    seg = seg_ref[...]            # (c_pad, h)
-    segt = segt_ref[...]          # (h, c_pad)
+    seg = seg_ref[...].astype(q_ref.dtype)   # (c_pad, h)
+    segt = segt_ref[...]                     # (h, c_pad) fp32
 
     for i in range(f):
         # re-read slices per use: VMEM refs are cheap, and short live
-        # ranges keep Mosaic's scoped-vmem footprint small
-        q_i = q_ref[:, i, :].astype(jnp.float32) * scale
+        # ranges keep Mosaic's scoped-vmem footprint small. Products stay in
+        # the input dtype (bf16 ok — logits accumulate in fp32 via the seg
+        # matmul's preferred_element_type, like flash attention's QK^T).
+        q_i = q_ref[:, i, :] * jnp.asarray(scale, q_ref.dtype)
         # logits over heads: s[j] (B, h)
         s = [jax.lax.dot_general(
-                q_i * k_ref[:, j, :].astype(jnp.float32), seg,
+                q_i * k_ref[:, j, :], seg,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
              for j in range(f)]

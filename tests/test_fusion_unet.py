@@ -94,6 +94,21 @@ def test_story_unet_context_reaches_output():
     assert np.abs(np.asarray(out - out2)).max() > 1e-6
 
 
+def test_story_unet_single_frame():
+    """BASELINE config #2: single-frame denoise must work (f=1; temporal PE
+    slices to one frame, attention degenerates gracefully)."""
+    cfg = StoryUNetConfig.tiny()
+    key = jax.random.PRNGKey(7)
+    sample = jax.random.normal(key, (2, 1, 16, 16, cfg.in_channels))
+    t = jnp.array([500, 3], jnp.int32)
+    ctx = jax.random.normal(key, (2, 1, 7, cfg.cross_attention_dim))
+    model = StoryUNet(cfg)
+    params = model.init(key, sample, t, ctx)
+    out = model.apply(params, sample, t, ctx)
+    assert out.shape == (2, 1, 16, 16, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_story_unet_remat_matches():
     cfg = StoryUNetConfig.tiny()
     key = jax.random.PRNGKey(4)
