@@ -52,12 +52,43 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "q_block", "interpret"))
+def _xla_reference(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Unfused oracle (same math, differentiable) — used for the backward
+    pass so the kernel is trainable without a handwritten bwd kernel
+    (recompute-style, like remat'ing the attention)."""
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
                     q_block: int = DEFAULT_Q_BLOCK,
                     interpret: bool = False) -> Array:
     """q: (..., Sq, d); k/v: (..., Skv, d) with identical leading dims.
-    Returns (..., Sq, d) in q.dtype."""
+    Returns (..., Sq, d) in q.dtype. Differentiable: forward runs the Pallas
+    kernel, backward recomputes through the XLA reference."""
+    return _flash_forward(q, k, v, scale, q_block, interpret)
+
+
+def _flash_fwd(q, k, v, scale, q_block, interpret):
+    return _flash_forward(q, k, v, scale, q_block, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, q_block, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "q_block", "interpret"))
+def _flash_forward(q: Array, k: Array, v: Array, scale: float,
+                   q_block: int = DEFAULT_Q_BLOCK,
+                   interpret: bool = False) -> Array:
     orig_shape = q.shape
     *lead, sq, d = q.shape
     skv = k.shape[-2]

@@ -88,8 +88,24 @@ def _pick_block(f: int, c_pad: int, itemsize: int) -> int:
     return p
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("heads", "scale", "block", "interpret"))
+def _xla_reference(q: Array, k: Array, v: Array, heads: int,
+                   scale: float) -> Array:
+    """Differentiable oracle (same math) for the backward pass."""
+    *lead, f, c = q.shape
+    dh = c // heads
+
+    def split(t):
+        t = t.reshape(tuple(lead) + (f, heads, dh))
+        return jnp.swapaxes(t, -3, -2)
+
+    logits = jnp.einsum("...qd,...kd->...qk", split(q), split(k),
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o = jnp.einsum("...qk,...kd->...qd", probs, split(v))
+    return jnp.swapaxes(o, -3, -2).reshape(q.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def frame_attention(q: Array, k: Array, v: Array, heads: int,
                     scale: float | None = None, block: int | None = None,
                     interpret: bool = False) -> Array:
@@ -97,7 +113,32 @@ def frame_attention(q: Array, k: Array, v: Array, heads: int,
 
     q, k, v: (..., f, c) with c = heads * head_dim; f <= 8 static.
     Returns (..., f, c) in q.dtype — equal to multi-head softmax attention
-    with the frame axis as the sequence."""
+    with the frame axis as the sequence. Differentiable: Pallas forward,
+    XLA-reference (recompute) backward."""
+    return _fa_forward(q, k, v, heads, scale, block, interpret)
+
+
+def _fa_fwd(q, k, v, heads, scale, block, interpret):
+    return _fa_forward(q, k, v, heads, scale, block, interpret), (q, k, v)
+
+
+def _fa_bwd(heads, scale, block, interpret, residuals, g):
+    q, k, v = residuals
+    if scale is None:
+        scale = (q.shape[-1] // heads) ** -0.5
+    _, vjp = jax.vjp(
+        lambda a, b, c: _xla_reference(a, b, c, heads, scale), q, k, v)
+    return vjp(g)
+
+
+frame_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "block", "interpret"))
+def _fa_forward(q: Array, k: Array, v: Array, heads: int,
+                scale: float | None = None, block: int | None = None,
+                interpret: bool = False) -> Array:
     *lead, f, c = q.shape
     assert f <= 8, f"frame_attention is for tiny frame axes, got f={f}"
     assert c % heads == 0

@@ -114,10 +114,18 @@ def encode_batch(vae: VAE, vae_params,
     tokens, embeds = vision_encoder.apply(
         vision_params, ref.reshape((b * f,) + ref.shape[2:]))
 
+    latents = vae_encode(raw["target"], k1)
+    # mask maps at LATENT resolution (the dataset's size/8 maps assume the
+    # SD VAE's 8x factor; rebuild from the per-frame flag so any VAE works)
+    h8, w8 = latents.shape[2:4]
+    mask_label = jnp.broadcast_to(
+        raw["frame_known"][:, :, None, None, None].astype(latents.dtype),
+        (b, f, h8, w8, 1))
+
     return Stage2Batch(
-        latents=vae_encode(raw["target"], k1),
+        latents=latents,
         masked_latents=vae_encode(raw["source"], k2),
-        mask_label=raw["mask_label"],
+        mask_label=mask_label,
         image_tokens=tokens.reshape((b, f) + tokens.shape[1:]),
         image_proj=embeds.reshape(b, f, -1),
         text_hidden=hidden.reshape(b, f, t, -1),
