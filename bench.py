@@ -93,6 +93,44 @@ def build(tiny: bool, params_dtype: str = "float32",
     return sampler, unet_p, fusion_p, cond, f, steps
 
 
+def build_full_pipeline(tiny: bool, steps: int = 20):
+    """Full two-stage pipeline (CLIP towers + prior + unet + fusion + VAE)
+    with random weights — the BASELINE north-star config (5-frame 512px
+    story, both stages, one compiled program)."""
+    import numpy as np
+
+    from rcdms_tpu.cli import evaluate
+    from rcdms_tpu.sample.pipeline import StoryInputs
+
+    argv = ["--synthetic"] if tiny else ["--dtype", "bfloat16"]
+    args = evaluate.parse_args(argv + ["--num-inference-steps", str(steps),
+                                       "--guidance-scale", "2.0"])
+    # no pretrained dirs => zero-init at the configured (full) size, born in
+    # bf16 (fp32 params of all five towers are ~18 GB and overflow one
+    # chip's HBM; zeros give identical compute cost to trained weights)
+    if not tiny:
+        from rcdms_tpu.cli.common import set_lazy_zero_init
+
+        set_lazy_zero_init(True)
+    pipeline, params, _, ds_cfg = evaluate.build_pipeline(args)
+    f = ds_cfg.num_frames
+    size, csize = ds_cfg.image_size, ds_cfg.clip_size
+    t1 = pipeline.text_encoder_s1.cfg.max_positions
+    t2 = pipeline.text_encoder_s2.cfg.max_positions
+    rng = np.random.RandomState(0)
+    inputs = StoryInputs(
+        tokens_s1=jnp.asarray(rng.randint(0, 1000, (1, f, t1)), jnp.int32),
+        tokens_s1_u=jnp.asarray(rng.randint(0, 1000, (1, f, t1)), jnp.int32),
+        tokens_s2=jnp.asarray(rng.randint(0, 1000, (1, f, t2)), jnp.int32),
+        tokens_s2_u=jnp.asarray(rng.randint(0, 1000, (1, f, t2)), jnp.int32),
+        source_clip=jnp.asarray(rng.randn(1, f, csize, csize, 3), jnp.float32),
+        mask_clip=jnp.asarray(rng.randn(1, f, csize, csize, 3), jnp.float32),
+        source_pixels=jnp.zeros((1, f, size, size, 3), jnp.float32),
+        frame_known=jnp.zeros((1, f), bool).at[:, 0].set(True),
+    )
+    return pipeline, params, inputs, f
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
@@ -107,10 +145,16 @@ def main():
                     help="diagnostic: temporal attention layers per block")
     ap.add_argument("--batch", type=int, default=1,
                     help="stories per batch (BASELINE config #4 uses 8)")
+    ap.add_argument("--full-pipeline", action="store_true",
+                    help="measure the whole two-stage pipeline (CLIP towers "
+                         "+ prior + unet + VAE) instead of stage-2 only")
     args = ap.parse_args()
 
     from rcdms_tpu.ops.attention import set_default_attention_impl
     set_default_attention_impl(args.attn)
+
+    if args.full_pipeline:
+        return main_full_pipeline(args)
 
     import os
 
@@ -162,6 +206,46 @@ def main():
         "params_dtype": args.params_dtype,
     }
     print(json.dumps(result))
+    return 0
+
+
+def main_full_pipeline(args):
+    import numpy as np
+
+    pipeline, params, inputs, frames = build_full_pipeline(
+        args.tiny, steps=3 if args.tiny else 20)
+    run = jax.jit(pipeline.generate)
+
+    def sync(out):
+        imgs, _ = out
+        imgs.block_until_ready()
+        return float(np.asarray(imgs[(0,) * imgs.ndim]))
+
+    key = jax.random.PRNGKey(42)
+    t0 = time.perf_counter()
+    sync(run(params, inputs, key))
+    compile_and_first = time.perf_counter() - t0
+    sync(run(params, inputs, key))
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        sync(run(params, inputs, jax.random.fold_in(key, i)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    fps = frames / p50
+    print(json.dumps({
+        "metric": "two_stage_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 4),
+        "p50_story_latency_s": round(p50, 4),
+        "compile_plus_first_run_s": round(compile_and_first, 2),
+        "backend": jax.default_backend(),
+        "tiny": args.tiny,
+        "full_pipeline": True,
+    }))
     return 0
 
 

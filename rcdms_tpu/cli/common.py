@@ -65,6 +65,27 @@ def _find_weights(subdir: str) -> Optional[str]:
     return None
 
 
+_LAZY_ZERO_INIT = False
+
+
+def set_lazy_zero_init(value: bool) -> None:
+    """When on, random-init models are built via eval_shape + zeros in the
+    compute dtype — no fp32 params ever touch the device. Used by benches
+    (zeros give identical compute cost to trained weights); training CLIs
+    keep real initializers."""
+    global _LAZY_ZERO_INIT
+    _LAZY_ZERO_INIT = value
+
+
+def _init(model, key, *args, dtype=jnp.float32):
+    if _LAZY_ZERO_INIT:
+        shapes = jax.eval_shape(lambda k: model.init(k, *args), key)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, dtype if s.dtype == jnp.float32
+                                else s.dtype), shapes)
+    return model.init(key, *args)
+
+
 def _merge_into_init(model, init_args, converted, key=jax.random.PRNGKey(0)):
     fresh = model.init(key, *init_args)
     n_fresh = C.count_fresh_leaves(fresh["params"], converted)
@@ -81,7 +102,7 @@ def build_text_encoder(cfg: CLIPTextConfig, pretrained: Optional[str],
         sd = _load_torch_bin(_find_weights(pretrained))
         params = {"params": C.convert_clip_text(sd, cfg, resize=True)}
     else:
-        params = model.init(jax.random.PRNGKey(0), ids)
+        params = _init(model, jax.random.PRNGKey(0), ids, dtype=dtype)
     return model, params
 
 
@@ -93,7 +114,7 @@ def build_vision_encoder(cfg: CLIPVisionConfig, pretrained: Optional[str],
         sd = _load_torch_bin(_find_weights(pretrained))
         params = {"params": C.convert_clip_vision(sd, cfg)}
     else:
-        params = model.init(jax.random.PRNGKey(0), px)
+        params = _init(model, jax.random.PRNGKey(0), px, dtype=dtype)
     return model, params
 
 
@@ -107,7 +128,7 @@ def build_vae(cfg: VAEConfig, pretrained: Optional[str],
         sd = _load_torch_bin(_find_weights(pretrained))
         params = {"params": C.convert_sd_vae(sd, cfg)}
     else:
-        params = model.init(jax.random.PRNGKey(0), x, z)
+        params = _init(model, jax.random.PRNGKey(0), x, z, dtype=dtype)
     return model, params
 
 
@@ -123,7 +144,8 @@ def build_prior(cfg: PriorConfig, pretrained: Optional[str],
                  jnp.zeros((b, f, d)), jnp.zeros((b, f, d)),
                  jnp.ones((b, f, t), bool))
     if not pretrained:
-        return model, model.init(jax.random.PRNGKey(0), *init_args)
+        return model, _init(model, jax.random.PRNGKey(0), *init_args,
+                            dtype=dtype)
     sd = _load_torch_bin(_find_weights(pretrained))
     converted = C.convert_kandinsky_prior(sd, cfg)
     prd = C.convert_prior_prd(sd)
@@ -141,7 +163,8 @@ def build_unet(cfg: StoryUNetConfig, pretrained: Optional[str],
                  jnp.zeros((b,), jnp.int32),
                  jnp.zeros((b, f, 4, cfg.cross_attention_dim)))
     if not pretrained:
-        return model, model.init(jax.random.PRNGKey(0), *init_args)
+        return model, _init(model, jax.random.PRNGKey(0), *init_args,
+                            dtype=dtype)
     sd = _load_torch_bin(_find_weights(pretrained))
     converted = C.convert_sd_unet(sd, cfg)
     return model, _merge_into_init(model, init_args, converted)
@@ -151,8 +174,8 @@ def build_fusion(cfg: FusionConfig, dtype=jnp.float32
                  ) -> Tuple[FusionModule, dict]:
     model = FusionModule(cfg, dtype=dtype)
     b, f, t = 1, 5, 4
-    params = model.init(
-        jax.random.PRNGKey(0),
+    params = _init(
+        model, jax.random.PRNGKey(0),
         jnp.zeros((b, f, 4, cfg.seen_vis_dim)),
         jnp.zeros((b, f, cfg.unseen_vis_dim)),
         jnp.zeros((b, f, t, cfg.text_dim)),

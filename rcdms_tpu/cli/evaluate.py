@@ -36,7 +36,6 @@ from rcdms_tpu.configs import (
     TemporalConfig,
     VAEConfig,
 )
-from rcdms_tpu.models.fusion import FusionModule
 from rcdms_tpu.sample.eval import (
     Stage1EvalAccumulator,
     save_story_grid,
@@ -71,6 +70,9 @@ def parse_args(argv=None):
     p.add_argument("--num-stories", type=int, default=16)
     p.add_argument("--num-inference-steps", type=int, default=20)
     p.add_argument("--guidance-scale", type=float, default=2.0)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (bfloat16 = production TPU config)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
@@ -115,19 +117,25 @@ def build_pipeline(args):
         t2_cfg = CLIPTextConfig.sd15(ds_cfg.max_text_len, ds_cfg.vocab_size)
         v_cfg = CLIPVisionConfig()
 
+    import jax.numpy as _jnp
+
+    dt = _jnp.dtype(getattr(args, "dtype", "float32"))
     sd = args.sd_pretrained
     text1, text1_p = common.build_text_encoder(t1_cfg,
-                                               args.text_s1_pretrained)
+                                               args.text_s1_pretrained,
+                                               dtype=dt)
     text2, text2_p = common.build_text_encoder(
-        t2_cfg, os.path.join(sd, "text_encoder") if sd else None)
+        t2_cfg, os.path.join(sd, "text_encoder") if sd else None, dtype=dt)
     vision, vision_p = common.build_vision_encoder(v_cfg,
-                                                   args.vision_pretrained)
+                                                   args.vision_pretrained,
+                                                   dtype=dt)
     vae, vae_p = common.build_vae(
-        vae_cfg, os.path.join(sd, "vae") if sd else None)
-    prior, prior_p = common.build_prior(prior_cfg, args.prior_pretrained)
+        vae_cfg, os.path.join(sd, "vae") if sd else None, dtype=dt)
+    prior, prior_p = common.build_prior(prior_cfg, args.prior_pretrained,
+                                        dtype=dt)
     unet, unet_p = common.build_unet(
-        unet_cfg, os.path.join(sd, "unet") if sd else None)
-    fusion, fusion_p = common.build_fusion(fusion_cfg)
+        unet_cfg, os.path.join(sd, "unet") if sd else None, dtype=dt)
+    fusion, fusion_p = common.build_fusion(fusion_cfg, dtype=dt)
 
     if args.stage1_ckpt:
         restored, _, _ = restore_checkpoint(args.stage1_ckpt,
@@ -147,7 +155,7 @@ def build_pipeline(args):
         prior_sampler=PriorSampler(prior,
                                    num_steps=args.num_inference_steps,
                                    guidance_scale=args.guidance_scale),
-        story_sampler=StorySampler(unet, FusionModule(fusion_cfg),
+        story_sampler=StorySampler(unet, fusion,
                                    num_steps=args.num_inference_steps,
                                    guidance_scale=args.guidance_scale))
     params = {"text_s1": text1_p, "text_s2": text2_p, "vision": vision_p,

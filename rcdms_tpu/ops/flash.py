@@ -85,6 +85,21 @@ def _flash_bwd(scale, q_block, interpret, residuals, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _fit_q_block(q_block: int, skv_pad: int, d_pad: int,
+                 itemsize: int) -> int:
+    """Shrink the q block until q/k/v/o tiles (double-buffered) + the fp32
+    score tile fit a ~12 MB VMEM budget (fp32 inputs need half the block of
+    bf16)."""
+    budget = 12 * 1024 * 1024
+    while q_block > 128:
+        tiles = (q_block + 2 * skv_pad + q_block) * d_pad * itemsize * 2
+        scores = q_block * skv_pad * 4
+        if tiles + scores <= budget:
+            break
+        q_block //= 2
+    return q_block
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "q_block", "interpret"))
 def _flash_forward(q: Array, k: Array, v: Array, scale: float,
                    q_block: int = DEFAULT_Q_BLOCK,
@@ -99,8 +114,9 @@ def _flash_forward(q: Array, k: Array, v: Array, scale: float,
     # explicit HBM pads. TODO(perf): fold the pad into the projection that
     # produces q/k/v.
     d_pad = _round_up(max(d, LANE), LANE)
-    sq_pad = _round_up(sq, q_block)
     skv_pad = _round_up(skv, LANE)
+    q_block = _fit_q_block(q_block, skv_pad, d_pad, q.dtype.itemsize)
+    sq_pad = _round_up(sq, q_block)
 
     def prep(t, s_pad):
         t = t.reshape(B, t.shape[-2], d)
@@ -129,6 +145,8 @@ def _flash_forward(q: Array, k: Array, v: Array, scale: float,
                             * q.dtype.itemsize),
             transcendentals=B * sq_pad * skv_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :sq, :d].reshape(orig_shape)
