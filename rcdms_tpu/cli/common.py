@@ -183,6 +183,66 @@ def build_fusion(cfg: FusionConfig, dtype=jnp.float32
     return model, params
 
 
+def load_rcdms_blob(path: str) -> dict:
+    """Load the reference's DeepSpeed `mp_rank_00_model_states.pt` (or a
+    bare state-dict .pt) and return the prefix-split numpy dicts
+    {seen, unseen, unet, rest} (`stage2_batchtest_rcdms_model.py:225-243`).
+    Accepts a checkpoint directory too (finds the mp_rank file inside)."""
+    import torch
+
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for name in sorted(files):
+                if name.endswith("model_states.pt"):
+                    path = os.path.join(root, name)
+                    break
+            if path.endswith("model_states.pt"):
+                break
+        else:
+            raise FileNotFoundError(f"no *model_states.pt under {path}")
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "module" in blob:
+        blob = blob["module"]
+    return C.split_deepspeed_blob(C.to_numpy_state_dict(blob))
+
+
+def load_rcdms_stage1(path: str, prior_cfg: PriorConfig,
+                      prior_params: dict) -> dict:
+    """--rcdms-stage1-ckpt: trained reference MyPriorTransformer blob ->
+    FramePrior params (stage-1 blobs carry no submodule prefix,
+    `stage1_batchtest_rcdms_model.py:99-103`). Raises if any leaf would
+    stay fresh — a trained checkpoint must cover the whole tree."""
+    parts = load_rcdms_blob(path)
+    converted = C.convert_rcdms_prior(parts["rest"], prior_cfg)
+    n_fresh = C.count_fresh_leaves(prior_params["params"], converted)
+    if n_fresh:
+        raise ValueError(f"stage-1 checkpoint leaves {n_fresh} params "
+                         f"fresh-init — wrong config or truncated blob?")
+    return {"params": C.merge_params(prior_params["params"], converted)}
+
+
+def load_rcdms_stage2(path: str, unet_cfg: StoryUNetConfig,
+                      unet_params: dict, fusion_params: dict) -> tuple:
+    """--rcdms-stage2-ckpt: trained reference SDModel blob (seen_module. /
+    unseen_module. / unet. prefixes) -> (StoryUNet, FusionModule) params."""
+    parts = load_rcdms_blob(path)
+    unet_conv = C.convert_rcdms_unet3d(parts["unet"], unet_cfg)
+    fusion_conv = {"seen_module": C.convert_fusion_stack(parts["seen"]),
+                   "unseen_module": C.convert_fusion_stack(parts["unseen"])}
+    for name, fresh, conv in (("unet", unet_params, unet_conv),
+                              ("fusion", fusion_params, fusion_conv)):
+        n_fresh = C.count_fresh_leaves(fresh["params"], conv)
+        if n_fresh:
+            raise ValueError(f"stage-2 checkpoint leaves {n_fresh} {name} "
+                             f"params fresh-init — wrong config or "
+                             f"truncated blob?")
+    return ({"params": C.merge_params(unet_params["params"], unet_conv)},
+            {"params": C.merge_params(fusion_params["params"], fusion_conv)})
+
+
 def dataset_from_args(args) -> DatasetConfig:
     return DatasetConfig(name=args.dataset, h5_path=args.h5_path,
                          image_size=args.image_size,

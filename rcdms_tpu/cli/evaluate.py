@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--mode", default="continue",
                    choices=["visualization", "continue"])
+    p.add_argument("--autoreg", action="store_true",
+                   help="stage-1-only autoregressive eval: one sampling "
+                        "pass per frame, committing each predicted embedding "
+                        "as a known condition (reference "
+                        "stage1_batchtest:186-242)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--sd-pretrained", default=None)
     p.add_argument("--prior-pretrained", default=None)
@@ -66,6 +71,12 @@ def parse_args(argv=None):
                    help="orbax dir with trained prior params")
     p.add_argument("--stage2-ckpt", default=None,
                    help="orbax dir with trained unet+fusion params")
+    p.add_argument("--rcdms-stage1-ckpt", default=None,
+                   help="reference DeepSpeed stage-1 blob "
+                        "(mp_rank_00_model_states.pt or its checkpoint dir)")
+    p.add_argument("--rcdms-stage2-ckpt", default=None,
+                   help="reference DeepSpeed stage-2 blob (seen_module./"
+                        "unseen_module./unet. prefixes)")
     p.add_argument("--output-dir", default="eval_out")
     p.add_argument("--num-stories", type=int, default=16)
     p.add_argument("--num-inference-steps", type=int, default=20)
@@ -148,6 +159,12 @@ def build_pipeline(args):
                                             {"params": joint})
         unet_p = {"params": restored["params"]["params"]["unet"]}
         fusion_p = {"params": restored["params"]["params"]["fusion"]}
+    if args.rcdms_stage1_ckpt:
+        prior_p = common.load_rcdms_stage1(args.rcdms_stage1_ckpt,
+                                           prior_cfg, prior_p)
+    if args.rcdms_stage2_ckpt:
+        unet_p, fusion_p = common.load_rcdms_stage2(
+            args.rcdms_stage2_ckpt, unet_cfg, unet_p, fusion_p)
 
     pipeline = StoryPipeline(
         text_encoder_s1=text1, text_encoder_s2=text2, vision_encoder=vision,
@@ -170,7 +187,15 @@ def main(argv=None):
     pipeline, params, dataset, ds_cfg = build_pipeline(args)
 
     known_length = 1 if args.mode == "continue" else 0
-    generate = jax.jit(pipeline.generate)
+    if args.autoreg:
+        from rcdms_tpu.data.protocol import clip_preprocess, white_image
+
+        white_clip = jnp.asarray(clip_preprocess(white_image(args.image_size),
+                                                 ds_cfg.clip_size))
+        generate = jax.jit(lambda p, i, k: pipeline.generate_stage1_autoreg(
+            p, i, k, white_clip))
+    else:
+        generate = jax.jit(pipeline.generate)
     rng = np.random.RandomState(args.seed)
     s1_acc = Stage1EvalAccumulator()
     all_metrics = []
@@ -195,8 +220,11 @@ def main(argv=None):
                 frame_known=jnp.asarray(ex["frame_known"])[None],
             )
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
-            frames, pred_embeds = generate(params, inputs, key)
-            frames = np.asarray(frames[0])
+            if args.autoreg:
+                pred_embeds = generate(params, inputs, key)
+            else:
+                frames, pred_embeds = generate(params, inputs, key)
+                frames = np.asarray(frames[0])
 
             # stage-1 metric: cosine sim vs GT CLIP embeds of real frames
             ref = jnp.asarray(ex["reference_clip"])
@@ -204,6 +232,12 @@ def main(argv=None):
                 params["vision"], ref)
             sim = s1_acc.update(np.asarray(pred_embeds[0]),
                                 np.asarray(gt_embeds))
+            if args.autoreg:
+                m = {"story": idx, "clip_cosine": sim}
+                all_metrics.append(m)
+                mf.write(json.dumps(m) + "\n")
+                print(f"story {idx}: cosine {sim:.4f} (autoreg)")
+                continue
 
             gt = (np.asarray(ex["target"]) + 1) / 2
             m = story_metrics(frames, gt)
@@ -218,11 +252,14 @@ def main(argv=None):
     summary = {
         "num_stories": len(indices),
         "mean_clip_cosine": s1_acc.mean,
-        "mean_ssim": float(np.mean([m["ssim"] for m in all_metrics])),
-        "mean_psnr": float(np.mean([m["psnr"] for m in all_metrics])),
         "elapsed_s": elapsed,
         "stories_per_s": len(indices) / elapsed,
     }
+    if not args.autoreg:
+        summary["mean_ssim"] = float(np.mean([m["ssim"]
+                                              for m in all_metrics]))
+        summary["mean_psnr"] = float(np.mean([m["psnr"]
+                                              for m in all_metrics]))
     print(json.dumps(summary))
     with open(os.path.join(args.output_dir,
                            f"summary_{args.shard_id}.json"), "w") as f:

@@ -28,16 +28,55 @@ def cosine_similarity(pred: np.ndarray, target: np.ndarray,
     return (p * t).sum(axis=axis)
 
 
-def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
-    """Global-window SSIM per image pair (a, b: (h, w, c) floats). Matches
-    the standard constants; adequate for the >=0.99 parity gate."""
+def _uniform_filter(x: np.ndarray, win: int) -> np.ndarray:
+    """Separable box filter with symmetric ('reflect') boundary — the same
+    local-mean operator scipy.ndimage.uniform_filter applies inside
+    skimage's structural_similarity."""
+    out = x.astype(np.float64)
+    for ax in range(out.ndim):
+        pad_width = [(0, 0)] * out.ndim
+        pad_width[ax] = (win // 2, win - 1 - win // 2)
+        xp = np.pad(out, pad_width, mode="symmetric")
+        out = np.lib.stride_tricks.sliding_window_view(
+            xp, win, axis=ax).mean(axis=-1)
+    return out
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0,
+         win_size: int = 7) -> float:
+    """Windowed SSIM matching `skimage.metrics.structural_similarity`
+    defaults (uniform win_size=7 window, sample covariance, valid-region
+    crop, channel-averaged for (h, w, c) inputs) — the strict metric the
+    reference imports (`stage2_batchtest_rcdms_model.py:23`) and the one
+    used for the >=0.99 parity gate. `win_size` is clamped to the largest
+    odd size that fits the image."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    if a.ndim == 3:  # channel_axis=-1: per-channel SSIM, averaged
+        return float(np.mean([ssim(a[..., i], b[..., i], data_range,
+                                   win_size) for i in range(a.shape[-1])]))
+    win = min(win_size, min(a.shape))
+    if win % 2 == 0:
+        win -= 1
+    np_win = win ** a.ndim
+    cov_norm = np_win / (np_win - 1)  # sample covariance
+    ux = _uniform_filter(a, win)
+    uy = _uniform_filter(b, win)
+    uxx = _uniform_filter(a * a, win)
+    uyy = _uniform_filter(b * b, win)
+    uxy = _uniform_filter(a * b, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
-    mu_a, mu_b = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
-    return float(((2 * mu_a * mu_b + c1) * (2 * cov + c2))
-                 / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    s = (((2 * ux * uy + c1) * (2 * vxy + c2))
+         / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+    pad = (win - 1) // 2
+    crop = s[tuple(slice(pad, dim - pad) for dim in s.shape)]
+    return float(crop.mean())
 
 
 @dataclass

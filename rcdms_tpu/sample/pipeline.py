@@ -143,6 +143,38 @@ class StoryPipeline:
         frames = frames.reshape((b, f) + frames.shape[1:])
         return jnp.clip(frames / 2 + 0.5, 0.0, 1.0), pred_embeds
 
+    def generate_stage1_autoreg(self, params: dict, inputs: StoryInputs,
+                                key: Array, white_clip: Array) -> Array:
+        """Stage-1-only autoregressive generation (the reference's
+        `--autoreg` protocol, `stage1_batchtest_rcdms_model.py:186-242`):
+        one full sampling pass per frame; after pass i the predicted
+        embedding of frame i is committed as a known-image condition and its
+        mask embed flipped to the white-image CLIP embedding before pass
+        i+1. `white_clip`: (224, 224, 3) CLIP-preprocessed white image.
+        Returns (b, f, d) predicted embeddings."""
+        th_c, te_c = self._encode_text(self.text_encoder_s1,
+                                       params["text_s1"], inputs.tokens_s1)
+        th_u, te_u = self._encode_text(self.text_encoder_s1,
+                                       params["text_s1"], inputs.tokens_s1_u)
+        _, src_embed = self._encode_images(params["vision"],
+                                           inputs.source_clip)
+        _, mask_embed = self._encode_images(params["vision"],
+                                            inputs.mask_clip)
+        _, white_embed = self.vision_encoder.apply(params["vision"],
+                                                   white_clip[None])
+
+        eos1 = self.text_encoder_s1.cfg.eos_token_id
+        cond1 = PriorConditioning(
+            text_embed=te_c, text_hidden=th_c,
+            text_mask=_padding_mask(inputs.tokens_s1, eos1),
+            text_embed_u=te_u, text_hidden_u=th_u,
+            text_mask_u=_padding_mask(inputs.tokens_s1_u, eos1),
+            image_embed=src_embed, mask_embed=mask_embed)
+        b = src_embed.shape[0]
+        white_embed = jnp.broadcast_to(white_embed, (b,) + white_embed.shape[1:])
+        return self.prior_sampler.autoregressive(
+            params["prior"], cond1, key, white_embed, inputs.frame_known)
+
 
 def _padding_mask(tokens: Array, eos_token_id: int) -> Array:
     """True for real tokens (everything up to and including the first EOS) —

@@ -11,6 +11,9 @@ from rcdms_tpu.models.fusion import (
     frame_known_from_mask,
 )
 from rcdms_tpu.models.unet3d import StoryUNet
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m 'not slow'
 
 
 def test_fusion_routing_matches_reference_gather_semantics():

@@ -8,6 +8,8 @@ import numpy as np
 
 from rcdms_tpu.ops import flash, frame_attention as fa
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m 'not slow'
+
 
 def test_flash_attention_grads_match_xla():
     key = jax.random.PRNGKey(0)

@@ -21,6 +21,9 @@ from rcdms_tpu.models.vae import VAE
 from rcdms_tpu.sample.pipeline import StoryInputs, StoryPipeline, _padding_mask
 from rcdms_tpu.sample.prior_sampler import PriorSampler
 from rcdms_tpu.sample.story_sampler import StorySampler
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m 'not slow'
 
 
 def _build(key):

@@ -7,6 +7,9 @@ import numpy as np
 
 from rcdms_tpu.configs import PriorConfig
 from rcdms_tpu.models.prior import FramePrior
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m 'not slow'
 
 
 def _make_inputs(key, cfg: PriorConfig, b=2):

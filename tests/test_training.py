@@ -25,6 +25,8 @@ from rcdms_tpu.train.stage1 import Stage1Batch, Stage1Trainer
 from rcdms_tpu.train.stage2 import Stage2Batch, Stage2Trainer
 from rcdms_tpu.train.train_state import TrainState
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m 'not slow'
+
 
 def _stage1_batch(key, b=8):
     cfg = PriorConfig.tiny()

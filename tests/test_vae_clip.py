@@ -7,6 +7,9 @@ import numpy as np
 from rcdms_tpu.configs import CLIPTextConfig, CLIPVisionConfig, VAEConfig
 from rcdms_tpu.models.clip import CLIPTextEncoder, CLIPVisionEncoder
 from rcdms_tpu.models.vae import VAE
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m 'not slow'
 
 
 def test_vae_encode_decode_shapes():
