@@ -32,7 +32,7 @@ BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
 
 def build(tiny: bool, params_dtype: str = "float32",
           use_temporal: bool = True, temporal_attn_layers: int = 2,
-          batch: int = 1):
+          batch: int = 1, mesh=None):
     from rcdms_tpu.configs import FusionConfig, StoryUNetConfig
     from rcdms_tpu.models.fusion import FusionModule
     from rcdms_tpu.models.unet3d import StoryUNet
@@ -56,7 +56,8 @@ def build(tiny: bool, params_dtype: str = "float32",
 
     unet = StoryUNet(ucfg, dtype=dtype)
     fusion = FusionModule(fcfg, dtype=dtype)
-    sampler = StorySampler(unet, fusion, num_steps=steps, guidance_scale=2.0)
+    sampler = StorySampler(unet, fusion, num_steps=steps, guidance_scale=2.0,
+                           mesh=mesh)
 
     b, f, t = batch, ucfg.num_frames, 91 if not tiny else 7
     key = jax.random.PRNGKey(0)
@@ -148,6 +149,11 @@ def main():
     ap.add_argument("--full-pipeline", action="store_true",
                     help="measure the whole two-stage pipeline (CLIP towers "
                          "+ prior + unet + VAE) instead of stage-2 only")
+    ap.add_argument("--shard-story", action="store_true",
+                    help="shard the single story over ALL devices "
+                         "(('cfg','space') inference mesh) — the v5e-8 "
+                         "latency config; frames/s/chip divides by the "
+                         "device count")
     args = ap.parse_args()
 
     from rcdms_tpu.ops.attention import set_default_attention_impl
@@ -162,9 +168,18 @@ def main():
                       os.path.expanduser("~/.cache/jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    mesh = None
+    n_chips = 1
+    if args.shard_story:
+        from rcdms_tpu.train.sharding import inference_mesh
+
+        mesh = inference_mesh(jax.devices())
+        n_chips = len(jax.devices())
+
     sampler, unet_p, fusion_p, cond, frames, steps = build(
         args.tiny, args.params_dtype, use_temporal=not args.no_temporal,
-        temporal_attn_layers=args.temporal_attn_layers, batch=args.batch)
+        temporal_attn_layers=args.temporal_attn_layers, batch=args.batch,
+        mesh=mesh)
     frames = frames * args.batch
     run = jax.jit(sampler.__call__)
 
@@ -190,7 +205,7 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
-    fps = frames / p50
+    fps = frames / p50 / n_chips
 
     result = {
         "metric": "stage2_frames_per_sec_per_chip",
@@ -204,6 +219,7 @@ def main():
         "tiny": args.tiny,
         "attn": args.attn,
         "params_dtype": args.params_dtype,
+        "n_chips": n_chips,
     }
     print(json.dumps(result))
     return 0

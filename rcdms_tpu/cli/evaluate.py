@@ -84,6 +84,10 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 = production TPU config)")
+    p.add_argument("--shard-story", action="store_true",
+                   help="shard each single story over ALL local devices "
+                        "(('cfg','space') inference mesh) to cut latency "
+                        "instead of sharding the story index range")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
@@ -166,15 +170,23 @@ def build_pipeline(args):
         unet_p, fusion_p = common.load_rcdms_stage2(
             args.rcdms_stage2_ckpt, unet_cfg, unet_p, fusion_p)
 
+    mesh = None
+    if getattr(args, "shard_story", False):
+        from rcdms_tpu.train.sharding import inference_mesh
+
+        mesh = inference_mesh(jax.devices())
     pipeline = StoryPipeline(
         text_encoder_s1=text1, text_encoder_s2=text2, vision_encoder=vision,
         vae=vae,
         prior_sampler=PriorSampler(prior,
                                    num_steps=args.num_inference_steps,
-                                   guidance_scale=args.guidance_scale),
+                                   guidance_scale=args.guidance_scale,
+                                   mesh=mesh),
         story_sampler=StorySampler(unet, fusion,
                                    num_steps=args.num_inference_steps,
-                                   guidance_scale=args.guidance_scale))
+                                   guidance_scale=args.guidance_scale,
+                                   mesh=mesh),
+        mesh=mesh)
     params = {"text_s1": text1_p, "text_s2": text2_p, "vision": vision_p,
               "vae": vae_p, "prior": prior_p, "unet": unet_p,
               "fusion": fusion_p}

@@ -11,7 +11,7 @@ whole story generates in a single compiled forward."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +20,7 @@ from rcdms_tpu.models.clip import CLIPTextEncoder, CLIPVisionEncoder
 from rcdms_tpu.models.vae import VAE
 from rcdms_tpu.sample.prior_sampler import PriorConditioning, PriorSampler
 from rcdms_tpu.sample.story_sampler import StoryConditioning, StorySampler
+from rcdms_tpu.train.sharding import constrain
 
 Array = jax.Array
 
@@ -59,16 +60,27 @@ class StoryPipeline:
     prior_sampler: PriorSampler
     story_sampler: StorySampler
     vae_scale: float = 0.18215
+    # optional ('cfg','space') inference mesh (train/sharding.py::
+    # inference_mesh). Encoders/VAE shard their (b*f) image batches over the
+    # whole mesh; the samplers carry their own mesh-aware constraints.
+    mesh: object = None
+
+    def _all_devices(self, x: Array) -> Array:
+        # leading axis over every mesh device (uneven sizes are padded by
+        # GSPMD — 5 frames over 8 devices is fine)
+        return constrain(x, self.mesh, ("cfg", "space"))
 
     def _encode_text(self, encoder, params, tokens: Array):
         b, f, t = tokens.shape
-        hidden, embeds = encoder.apply(params, tokens.reshape(b * f, t))
+        hidden, embeds = encoder.apply(
+            params, self._all_devices(tokens.reshape(b * f, t)))
         return (hidden.reshape(b, f, t, -1), embeds.reshape(b, f, -1))
 
     def _encode_images(self, params, images: Array):
         b, f = images.shape[:2]
         tokens, embeds = self.vision_encoder.apply(
-            params, images.reshape((b * f,) + images.shape[2:]))
+            params, self._all_devices(
+                images.reshape((b * f,) + images.shape[2:])))
         return (tokens.reshape((b, f) + tokens.shape[1:]),
                 embeds.reshape(b, f, -1))
 
@@ -112,7 +124,8 @@ class StoryPipeline:
 
         px = inputs.source_pixels
         mean, logvar = self.vae.apply(
-            params["vae"], px.reshape((b * f,) + px.shape[2:]),
+            params["vae"],
+            self._all_devices(px.reshape((b * f,) + px.shape[2:])),
             method=VAE.encode)
         noise = jax.random.normal(key_vae, mean.shape)
         masked_latents = VAE.sample_latent(mean, logvar, noise) * self.vae_scale
@@ -131,15 +144,22 @@ class StoryPipeline:
         latents = self.story_sampler(params["unet"], params["fusion"],
                                      cond2, key2)
 
-        # decode sequentially per frame (lax.map): peak decoder activations
-        # at 512px are ~5x smaller than a batched decode, which is what tips
-        # the full pipeline over one chip's HBM (the reference's per-frame
-        # python loop, RCDMs_pipeline.py:274-287, exists for the same reason
-        # — ours stays inside the compiled program)
         z = latents.reshape((b * f,) + latents.shape[2:]) / self.vae_scale
-        frames = jax.lax.map(
-            lambda zi: self.vae.apply(params["vae"], zi[None],
-                                      method=VAE.decode)[0], z)
+        if self.mesh is not None:
+            # sharded: one batched decode, frames spread over all devices
+            # (per-device activations are 1/8th — no HBM pressure)
+            frames = self.vae.apply(params["vae"], self._all_devices(z),
+                                    method=VAE.decode)
+        else:
+            # decode sequentially per frame (lax.map): peak decoder
+            # activations at 512px are ~5x smaller than a batched decode,
+            # which is what tips the full pipeline over one chip's HBM (the
+            # reference's per-frame python loop, RCDMs_pipeline.py:274-287,
+            # exists for the same reason — ours stays inside the compiled
+            # program)
+            frames = jax.lax.map(
+                lambda zi: self.vae.apply(params["vae"], zi[None],
+                                          method=VAE.decode)[0], z)
         frames = frames.reshape((b, f) + frames.shape[1:])
         return jnp.clip(frames / 2 + 0.5, 0.0, 1.0), pred_embeds
 
@@ -174,6 +194,99 @@ class StoryPipeline:
         white_embed = jnp.broadcast_to(white_embed, (b,) + white_embed.shape[1:])
         return self.prior_sampler.autoregressive(
             params["prior"], cond1, key, white_embed, inputs.frame_known)
+
+
+def build_tiny_pipeline(key: Optional[Array] = None,
+                        mesh: object = None,
+                        num_steps: int = 2):
+    """Tiny random-weights two-stage pipeline + params + example inputs —
+    shared by the unit tests, the multichip dryrun, and smoke benches."""
+    import dataclasses
+
+    from rcdms_tpu.configs import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+        FusionConfig,
+        PriorConfig,
+        StoryUNetConfig,
+        VAEConfig,
+    )
+    from rcdms_tpu.models.fusion import FusionModule
+    from rcdms_tpu.models.prior import FramePrior
+    from rcdms_tpu.models.unet3d import StoryUNet
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    prior_cfg = PriorConfig.tiny()
+    unet_cfg = StoryUNetConfig.tiny()
+    fusion_cfg = FusionConfig.tiny(
+        hidden_dim=unet_cfg.cross_attention_dim,
+        text_dim=unet_cfg.cross_attention_dim,
+        unseen_vis_dim=prior_cfg.embedding_dim)
+    vae_cfg = VAEConfig.tiny()
+    t = prior_cfg.num_text_tokens
+    t1_cfg = CLIPTextConfig.tiny(max_positions=t,
+                                 width=prior_cfg.embedding_dim,
+                                 projection_dim=prior_cfg.embedding_dim)
+    t2_cfg = CLIPTextConfig.tiny(max_positions=t,
+                                 width=unet_cfg.cross_attention_dim,
+                                 projection_dim=unet_cfg.cross_attention_dim)
+    v_cfg = CLIPVisionConfig.tiny(width=fusion_cfg.seen_vis_dim,
+                                  projection_dim=prior_cfg.embedding_dim)
+
+    text1 = CLIPTextEncoder(t1_cfg)
+    text2 = CLIPTextEncoder(t2_cfg)
+    vision = CLIPVisionEncoder(v_cfg)
+    vae = VAE(vae_cfg)
+    prior = FramePrior(prior_cfg)
+    unet = StoryUNet(unet_cfg)
+    fusion = FusionModule(fusion_cfg)
+
+    f, img, cimg = 5, 32, v_cfg.image_size
+    ks = jax.random.split(key, 8)
+    ids = jnp.zeros((1, f, t), jnp.int32).at[:, :, 3].set(
+        t1_cfg.eos_token_id)
+    params = {
+        "text_s1": text1.init(ks[0], ids.reshape(f, t)),
+        "text_s2": text2.init(ks[1], ids.reshape(f, t)),
+        "vision": vision.init(ks[2], jnp.zeros((1, cimg, cimg, 3))),
+        "vae": vae.init(ks[3], jnp.zeros((1, img, img, 3)),
+                        jnp.zeros((1, img // 2, img // 2, 4))),
+        "prior": prior.init(
+            ks[4], jnp.zeros((1, f, prior_cfg.embedding_dim)),
+            jnp.zeros((1, f), jnp.int32),
+            jnp.zeros((1, f, prior_cfg.embedding_dim)),
+            jnp.zeros((1, f, t, prior_cfg.embedding_dim)),
+            jnp.zeros((1, f, prior_cfg.embedding_dim)),
+            jnp.zeros((1, f, prior_cfg.embedding_dim)),
+            jnp.ones((1, f, t), bool)),
+        "unet": unet.init(
+            ks[5],
+            jnp.zeros((1, f, img // 2, img // 2, unet_cfg.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, f, t, unet_cfg.cross_attention_dim))),
+        "fusion": fusion.init(
+            ks[6], jnp.zeros((1, f, 5, fusion_cfg.seen_vis_dim)),
+            jnp.zeros((1, f, fusion_cfg.unseen_vis_dim)),
+            jnp.zeros((1, f, t, fusion_cfg.text_dim)),
+            jnp.zeros((1, f), bool)),
+    }
+    pipeline = StoryPipeline(
+        text_encoder_s1=text1, text_encoder_s2=text2, vision_encoder=vision,
+        vae=vae,
+        prior_sampler=PriorSampler(prior, num_steps=num_steps,
+                                   guidance_scale=2.0, mesh=mesh),
+        story_sampler=StorySampler(unet, fusion, num_steps=num_steps,
+                                   guidance_scale=2.0, mesh=mesh),
+        mesh=mesh)
+
+    inputs = StoryInputs(
+        tokens_s1=ids, tokens_s1_u=ids, tokens_s2=ids, tokens_s2_u=ids,
+        source_clip=jax.random.normal(ks[7], (1, f, cimg, cimg, 3)),
+        mask_clip=jnp.zeros((1, f, cimg, cimg, 3)),
+        source_pixels=jnp.zeros((1, f, img, img, 3)),
+        frame_known=jnp.array([[True, False, False, False, False]]),
+    )
+    return pipeline, params, inputs
 
 
 def _padding_mask(tokens: Array, eos_token_id: int) -> Array:

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from rcdms_tpu.core.schedulers import UnCLIPSchedule, cfg_combine
 from rcdms_tpu.models.prior import FramePrior
+from rcdms_tpu.train.sharding import constrain
 
 Array = jax.Array
 
@@ -43,6 +44,9 @@ class PriorSampler:
     schedule: UnCLIPSchedule = UnCLIPSchedule()
     num_steps: int = 20          # reference default (`stage1_batchtest:284`)
     guidance_scale: float = 2.0  # reference default (`stage1_batchtest:286`)
+    # optional ('cfg','space') inference mesh; the prior is small, so only
+    # the CFG axis is split (the 97-token seq attention stays on-device)
+    mesh: object = None
 
     def __call__(self, params, cond: PriorConditioning, key: Array,
                  init_latents: Optional[Array] = None,
@@ -81,6 +85,7 @@ class PriorSampler:
             lat = carry
             i, t, prev_t = step
             x = jnp.concatenate([lat] * 2) if do_cfg else lat
+            x = constrain(x, self.mesh, "cfg")
             tb = jnp.full(x.shape[:2], t, jnp.int32)
             pred = self.model.apply(
                 params, x, tb, text_embed, text_hidden, image_embed,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from rcdms_tpu.core.schedulers import DDIMSchedule, cfg_combine
 from rcdms_tpu.models.fusion import FusionModule
 from rcdms_tpu.models.unet3d import StoryUNet
+from rcdms_tpu.train.sharding import constrain
 
 Array = jax.Array
 
@@ -42,6 +43,9 @@ class StorySampler:
     num_steps: int = 20           # reference eval default
     guidance_scale: float = 2.0   # reference eval default
     eta: float = 0.0
+    # optional ('cfg','space') inference mesh (train/sharding.py::
+    # inference_mesh): CFG branches over 'cfg', latent rows over 'space'
+    mesh: object = None
 
     def __call__(self, unet_params, fusion_params, cond: StoryConditioning,
                  key: Array, init_latents: Optional[Array] = None) -> Array:
@@ -64,11 +68,16 @@ class StorySampler:
         else:
             context = ctx_c
             masked_latents, mask_label = cond.masked_latents, cond.mask_label
+        context = constrain(context, self.mesh, "cfg")
+        masked_latents = constrain(masked_latents, self.mesh,
+                                   "cfg", None, "space")
+        mask_label = constrain(mask_label, self.mesh, "cfg", None, "space")
 
         key, init_key = jax.random.split(key)
         if init_latents is None:
             init_latents = jax.random.normal(init_key, (b, f, h8, w8, 4))
         latents = init_latents * self.schedule.init_noise_sigma
+        latents = constrain(latents, self.mesh, None, None, "space")
 
         ts = jnp.asarray(self.schedule.timesteps(self.num_steps))
         prev_ts = jnp.asarray(self.schedule.prev_timesteps(self.num_steps))
@@ -78,8 +87,10 @@ class StorySampler:
             i, t, prev_t = step
             x = jnp.concatenate([lat] * 2) if do_cfg else lat
             x = jnp.concatenate([x, mask_label, masked_latents], axis=-1)
+            x = constrain(x, self.mesh, "cfg", None, "space")
             tb = jnp.full((x.shape[0],), t, jnp.int32)
             pred = self.unet.apply(unet_params, x, tb, context)
+            pred = constrain(pred, self.mesh, "cfg", None, "space")
             if do_cfg:
                 pred_u, pred_c = jnp.split(pred, 2)
                 pred = cfg_combine(pred_u, pred_c, self.guidance_scale)
@@ -87,6 +98,7 @@ class StorySampler:
                      if self.eta > 0 else None)
             lat = self.schedule.step(pred, t, prev_t, lat, eta=self.eta,
                                      noise=noise)
+            lat = constrain(lat, self.mesh, None, None, "space")
             return lat, None
 
         steps = (jnp.arange(self.num_steps), ts, prev_ts)

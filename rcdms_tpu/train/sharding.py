@@ -76,3 +76,35 @@ def zero2_opt_state_shardings(opt_state, mesh: Mesh):
 
 def replicated_shardings(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda _: replicated(mesh), tree)
+
+
+# ---------------------------------------------------------------------------
+# Inference (single-story latency) sharding
+# ---------------------------------------------------------------------------
+
+
+def inference_mesh(devices: Optional[list] = None) -> Mesh:
+    """Mesh for sharded single-story inference: ('cfg', 'space').
+
+    A single story gives the UNet a batch of just 2 (CFG) x 1 story, so DP
+    alone cannot cut latency. Instead: the CFG batch-doubling axis splits
+    2-way (communication-free except the per-step guidance mix), and the
+    latent *rows* (h) split over 'space' — XLA/GSPMD inserts conv halo
+    exchanges and attention gathers over ICI. The reference has no
+    equivalent (its 8-GPU eval fan-out is throughput-only,
+    `stage2_batchtest_rcdms_model.py:457-468`); this is what attacks the
+    <=2 s p50 v5e-8 story-latency target."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    cfg_ax = 2 if n % 2 == 0 and n > 1 else 1
+    arr = np.asarray(devices).reshape(cfg_ax, n // cfg_ax)
+    return Mesh(arr, ("cfg", "space"))
+
+
+def constrain(x, mesh: Optional[Mesh], *spec):
+    """`with_sharding_constraint` when a mesh is given; identity otherwise
+    (so the same sampler code serves 1-chip and sharded runs)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
