@@ -11,7 +11,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rcdms_tpu.core.layers import FeedForward, GroupNorm, LayerNorm
+from rcdms_tpu.core.layers import (
+    FeedForward,
+    GroupNorm,
+    LayerNorm,
+    PaddedDense,
+)
 from rcdms_tpu.ops.attention import (
     dot_product_attention,
     get_default_attention_impl,
@@ -19,12 +24,31 @@ from rcdms_tpu.ops.attention import (
 
 Array = jax.Array
 
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
 
 def _use_frame_kernel() -> bool:
     impl = get_default_attention_impl()
     if impl == "xla":
         return False
     return impl == "pallas" or jax.default_backend() == "tpu"
+
+
+def _use_packed_flash(seq_q: int, seq_k: int, head_dim: int) -> bool:
+    """Long-sequence attention goes to the packed Pallas kernel when the
+    shapes divide cleanly (no runtime row pads). The projections then emit
+    head-interleave-padded lanes via PaddedDense — no HBM pad/transpose ops
+    in the sampling loop (round-1 profile: ~10% of step time)."""
+    if not _use_frame_kernel():
+        return False
+    from rcdms_tpu.ops.flash import packed_ok
+
+    return (seq_q >= 256 and head_dim <= 256 and seq_k % LANE == 0
+            and packed_ok(seq_q, seq_k))
 
 
 class Attention(nn.Module):
@@ -39,6 +63,10 @@ class Attention(nn.Module):
     out_dim: Optional[int] = None      # defaults to query dim
     qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    # frame_axis: input is (b, f, n, c) and attention runs across f at every
+    # token n (the temporal module's native layout — no transposes anywhere;
+    # the Pallas kernel tiles (f, block_n, c_pad) contiguously)
+    frame_axis: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None,
@@ -48,23 +76,88 @@ class Attention(nn.Module):
         out_dim = self.out_dim or x.shape[-1]
         ctx = x if context is None else context
 
+        if self.frame_axis:
+            assert context is None and mask is None and x.ndim == 4
+            if _use_frame_kernel():
+                from rcdms_tpu.ops.frame_attention import frame_attention_bfnc
+
+                c_pad = _round_up(inner, LANE)
+                spec = ("tail", inner, c_pad)
+                q = PaddedDense(inner, self.qkv_bias, self.dtype,
+                                out_pad=spec, name="to_q")(x)
+                k = PaddedDense(inner, self.qkv_bias, self.dtype,
+                                out_pad=spec, name="to_k")(x)
+                v = PaddedDense(inner, self.qkv_bias, self.dtype,
+                                out_pad=spec, name="to_v")(x)
+                o = frame_attention_bfnc(q, k, v, self.heads, inner,
+                                         self.head_dim ** -0.5)
+                return PaddedDense(out_dim, True, self.dtype, in_pad=spec,
+                                   name="to_out")(o)
+            # XLA fallback (CPU): frame axis to -2, standard path, back
+            q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="to_q")(x)
+            k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="to_k")(x)
+            v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="to_v")(x)
+
+            def split_f(t):
+                t = jnp.swapaxes(t, 1, 2)  # (b, n, f, inner)
+                t = t.reshape(t.shape[:-1] + (self.heads, self.head_dim))
+                return jnp.swapaxes(t, -3, -2)
+
+            o = dot_product_attention(split_f(q), split_f(k), split_f(v))
+            o = jnp.swapaxes(o, -3, -2)
+            o = o.reshape(o.shape[:-2] + (inner,))
+            o = jnp.swapaxes(o, 1, 2)  # back to (b, f, n, inner)
+            return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(o)
+
+        # tiny-sequence self-attention (the f=5 temporal axis): Pallas
+        # frame-attention kernel — computed as batched matmuls it wastes
+        # >95% of each MXU tile (see ops/frame_attention.py). Projections
+        # emit tail-padded lanes; the out-projection consumes them.
+        if (context is None and mask is None and x.shape[-2] <= 8
+                and _use_frame_kernel()):
+            from rcdms_tpu.ops.frame_attention import frame_attention_packed
+
+            c_pad = _round_up(inner, LANE)
+            spec = ("tail", inner, c_pad)
+            q = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
+                            name="to_q")(x)
+            k = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
+                            name="to_k")(x)
+            v = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
+                            name="to_v")(x)
+            o = frame_attention_packed(q, k, v, self.heads, inner,
+                                       scale=self.head_dim ** -0.5)
+            return PaddedDense(out_dim, True, self.dtype, in_pad=spec,
+                               name="to_out")(o)
+
+        # long-sequence (spatial self/cross) attention: packed Pallas flash
+        # kernel reading the projections' head-interleave-padded layout
+        if mask is None and _use_packed_flash(x.shape[-2], ctx.shape[-2],
+                                              self.head_dim):
+            from rcdms_tpu.ops.flash import flash_attention_packed
+
+            group = _round_up(self.head_dim, LANE)
+            spec = ("interleave", self.heads, self.head_dim, group)
+            q = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
+                            name="to_q")(x)
+            k = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
+                            name="to_k")(ctx)
+            v = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
+                            name="to_v")(ctx)
+            o = flash_attention_packed(q, k, v, self.heads,
+                                       self.head_dim ** -0.5, group)
+            return PaddedDense(out_dim, True, self.dtype, in_pad=spec,
+                               name="to_out")(o)
+
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="to_q")(x)
         k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="to_v")(ctx)
-
-        # tiny-sequence self-attention (the f=5 temporal axis): dispatch to
-        # the Pallas frame-attention kernel — computed as batched matmuls it
-        # wastes >95% of each MXU tile (see ops/frame_attention.py)
-        if (context is None and mask is None and x.shape[-2] <= 8
-                and _use_frame_kernel()):
-            from rcdms_tpu.ops.frame_attention import frame_attention
-
-            o = frame_attention(q, k, v, self.heads,
-                                scale=self.head_dim ** -0.5)
-            return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(o)
 
         def split_heads(t):
             t = t.reshape(t.shape[:-1] + (self.heads, self.head_dim))

@@ -163,6 +163,84 @@ class FeedForward(nn.Module):
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
 
 
+def _pad_axis(t, axis: int, spec) -> jnp.ndarray:
+    """Zero-expand one axis of a kernel/bias per a pad spec:
+    ("tail", real, padded) appends zeros; ("interleave", heads, dh, group)
+    pads each head's dh block to `group`."""
+    kind = spec[0]
+    if kind == "tail":
+        _, real, padded = spec
+        pad = [(0, 0)] * t.ndim
+        pad[axis] = (0, padded - real)
+        return jnp.pad(t, pad)
+    heads, dh, group = spec[1:]
+    shape = list(t.shape)
+    shape[axis:axis + 1] = [heads, dh]
+    t = t.reshape(shape)
+    pad = [(0, 0)] * t.ndim
+    pad[axis + 1] = (0, group - dh)
+    t = jnp.pad(t, pad)
+    shape[axis:axis + 2] = [heads * group]
+    return t.reshape(shape)
+
+
+def pad_spec_width(spec) -> int:
+    """Padded width produced/consumed by a pad spec."""
+    if spec[0] == "tail":
+        return spec[2]
+    heads, _, group = spec[1:]
+    return heads * group
+
+
+class PaddedDense(nn.Module):
+    """Dense whose params keep the standard nn.Dense tree ({kernel, bias},
+    shapes over the REAL features) but whose compute zero-pads columns/rows
+    so Pallas kernels consume lane-aligned layouts with NO runtime HBM pad:
+
+      * out_pad: emit padded outputs — ("tail", real, padded) puts zeros
+        after the real features; ("interleave", heads, dh, group) pads each
+        head's dh columns to a full `group`-lane block.
+      * in_pad: accept padded inputs by zero-expanding kernel ROWS at the
+        same positions (zero rows annihilate the pad lanes).
+
+    The padded kernel is loop-invariant, so XLA hoists the pad out of the
+    samplers' scan loops — pad cost is paid once per program, not per
+    step (the round-1 profile showed ~10% of stage-2 time in per-step
+    pad/copy ops feeding the kernels)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    out_pad: Optional[tuple] = None
+    in_pad: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.in_pad is not None:
+            in_features = (self.in_pad[1] if self.in_pad[0] == "tail"
+                           else self.in_pad[1] * self.in_pad[2])
+            assert x.shape[-1] == pad_spec_width(self.in_pad), (
+                x.shape, self.in_pad)
+        else:
+            in_features = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        if self.out_pad is not None:
+            kernel = _pad_axis(kernel, 1, self.out_pad)
+            if bias is not None:
+                bias = _pad_axis(bias, 0, self.out_pad)
+        if self.in_pad is not None:
+            kernel = _pad_axis(kernel, 0, self.in_pad)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def zeros_dense(features: int, dtype: jnp.dtype, name: str) -> nn.Dense:
     """Dense with zero-initialized kernel+bias (the reference zero-inits
     temporal proj_out — `motion_module.py:84-85` — and the 9-channel conv_in

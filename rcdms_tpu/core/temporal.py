@@ -37,12 +37,15 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        """x: (b, n, f, c) — frame axis second-to-last."""
-        f = x.shape[-2]
+        """x: (b, f, n, c) — the model-native layout; attention runs across
+        the f axis at every token (Attention(frame_axis=True), so the Pallas
+        path needs no transposes)."""
+        f = x.shape[1]
         pe = None
         if self.cfg.use_positional_encoding:
             pe = temporal_positional_encoding(
                 self.cfg.max_frames, x.shape[-1])[:f].astype(x.dtype)
+            pe = pe[:, None, :]  # broadcast over tokens: (f, 1, c)
         for i in range(self.cfg.attn_layers_per_block):
             h = LayerNorm(name=f"norm_{i}")(x)
             if pe is not None:
@@ -50,7 +53,8 @@ class TemporalTransformerBlock(nn.Module):
                 # VersatileAttention.forward, motion_module.py:299-302)
                 h = h + pe
             x = x + Attention(self.cfg.num_heads, self.head_dim,
-                              dtype=self.dtype, name=f"attn_{i}")(h)
+                              dtype=self.dtype, frame_axis=True,
+                              name=f"attn_{i}")(h)
         h = LayerNorm(name="ff_norm")(x)
         return x + FeedForward("geglu", dtype=self.dtype, name="ff")(h)
 
@@ -84,12 +88,10 @@ class TemporalModule(nn.Module):
         inner = self.channels  # temporal_attention_dim_div = 1
         head_dim = inner // self.cfg.num_heads
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
-        h = jnp.swapaxes(h, 1, 2)  # (b, n, f, c)
         for i in range(self.cfg.num_blocks):
             h = TemporalTransformerBlock(self.cfg, head_dim,
                                          dtype=self.dtype,
                                          name=f"block_{i}")(h)
-        h = jnp.swapaxes(h, 1, 2)  # (b, f, n, c)
         if self.cfg.zero_init_output:
             h = zeros_dense(self.channels, self.dtype, "proj_out")(h)
         else:

@@ -63,9 +63,13 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if impl == "pallas" or (impl == "auto" and _use_pallas(q, mask)):
-        from rcdms_tpu.ops.flash import flash_attention
-        return flash_attention(q, k, v, scale=scale)
+    # masked attention can never go to the flash kernel (it has no mask
+    # support) — even when impl is forced to "pallas"
+    if mask is None and (impl == "pallas"
+                         or (impl == "auto" and _use_pallas(q, mask))):
+        from rcdms_tpu.ops.flash import flash_attention, kernel_interpret
+        return flash_attention(q, k, v, scale=scale,
+                               interpret=kernel_interpret())
 
     dtype = q.dtype
     # softmax numerics in fp32 (reference upcast_softmax equivalent, always on)

@@ -29,6 +29,19 @@ Array = jax.Array
 LANE = 128
 DEFAULT_Q_BLOCK = 512
 
+# flip via set_kernel_interpret so module-level kernel paths run on CPU in
+# interpret mode (tests); real runs leave this False
+_INTERPRET = False
+
+
+def set_kernel_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = value
+
+
+def kernel_interpret() -> bool:
+    return _INTERPRET
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -98,6 +111,111 @@ def _fit_q_block(q_block: int, skv_pad: int, d_pad: int,
             break
         q_block //= 2
     return q_block
+
+
+# ---------------------------------------------------------------------------
+# Packed layout: q/k/v arrive (B, S, heads * LANE) with each head's real
+# head_dim zero-padded to a full 128-lane group BY THE PRODUCING PROJECTION
+# (core/layers.py::PaddedDense with an interleaved pad). No transpose to
+# head-major and no HBM pad op ever runs: the kernel lane-slices one head's
+# 128-lane group straight out of the projection's output layout.
+# ---------------------------------------------------------------------------
+
+
+def packed_ok(sq: int, skv: int, q_block: int = DEFAULT_Q_BLOCK) -> bool:
+    """Shapes the packed kernel handles without runtime row pads."""
+    return sq % min(q_block, _round_up(sq, 128)) == 0 and skv % LANE == 0
+
+
+def _packed_xla_reference(q: Array, k: Array, v: Array, heads: int,
+                          scale: float, group: int) -> Array:
+    """Oracle on the packed layout: zero pad lanes add nothing to q.k^T and
+    produce zero output lanes, so attention over dh_pad == real attention."""
+    *lead, s, hd = q.shape
+    q4 = q.reshape(tuple(lead) + (s, heads, group))
+    k4 = k.reshape(tuple(lead) + (k.shape[-2], heads, group))
+    v4 = v.reshape(tuple(lead) + (v.shape[-2], heads, group))
+    logits = jnp.einsum("...qhd,...khd->...hqk", q4, k4,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o = jnp.einsum("...hqk,...khd->...qhd", probs, v4)
+    return o.reshape(q.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_packed(q: Array, k: Array, v: Array, heads: int,
+                           scale: float, group: int = LANE,
+                           q_block: int = DEFAULT_Q_BLOCK) -> Array:
+    """Fused attention on head-interleave-padded inputs.
+
+    q: (..., Sq, heads*group); k/v: (..., Skv, heads*group); lanes
+    [h*group + head_dim, (h+1)*group) must be zero (the padded-projection
+    contract; group is a multiple of 128). Returns (..., Sq, heads*group)
+    with the same zero-lane structure. Requires packed_ok(Sq, Skv)."""
+    return _flash_packed_forward(q, k, v, heads, scale, group, q_block)
+
+
+def _flash_packed_fwd(q, k, v, heads, scale, group, q_block):
+    return (_flash_packed_forward(q, k, v, heads, scale, group, q_block),
+            (q, k, v))
+
+
+def _flash_packed_bwd(heads, scale, group, q_block, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda a, b, c: _packed_xla_reference(a, b, c, heads, scale, group),
+        q, k, v)
+    return vjp(g)
+
+
+flash_attention_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "group",
+                                             "q_block"))
+def _flash_packed_forward(q: Array, k: Array, v: Array, heads: int,
+                          scale: float, group: int = LANE,
+                          q_block: int = DEFAULT_Q_BLOCK) -> Array:
+    orig_shape = q.shape
+    *lead, sq, hd = q.shape
+    assert hd == heads * group and group % LANE == 0, (hd, heads, group)
+    skv = k.shape[-2]
+    assert packed_ok(sq, skv, q_block), (sq, skv)
+    B = math.prod(lead) if lead else 1
+
+    q_block = min(q_block, sq)
+    q_block = _fit_q_block(q_block, skv, group, q.dtype.itemsize)
+
+    q3 = q.reshape(B, sq, hd)
+    k3 = k.reshape(B, skv, hd)
+    v3 = v.reshape(B, skv, hd)
+
+    grid = (B, heads, sq // q_block)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, kv_len=skv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, group), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, group), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, group), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, group),
+                               lambda b, h, i: (b, i, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, sq, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * sq * skv * group,
+            bytes_accessed=(B * (sq + 2 * skv) * hd * q.dtype.itemsize),
+            transcendentals=B * heads * sq * skv,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(q3, k3, v3)
+    return out.reshape(orig_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "q_block", "interpret"))

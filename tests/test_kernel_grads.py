@@ -3,6 +3,7 @@ backward) must match grads of the pure XLA path — this is what makes TPU
 training work, since the frame/flash kernels are on the training hot path."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
