@@ -24,76 +24,247 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Pixel kernels
+// Pillow-compatible bicubic resize (two-pass, 8-bit fixed point).
+//
+// Replicates PIL.Image.resize(..., BICUBIC) exactly — the same resampling
+// data/protocol.py uses via PIL — including the adaptive (antialias) filter
+// support on downscale, the INT32 coefficient quantization with
+// PRECISION_BITS = 22, per-pass uint8 rounding, and the horizontal-then-
+// vertical pass order. Keeping the native feeder bit-identical to the numpy
+// protocol means enabling it cannot change training numerics.
 // ---------------------------------------------------------------------------
 
-// uint8 HWC -> float32 HWC in [-1, 1] with bilinear resize to (out, out).
-void normalize_pixels(const uint8_t* src, int h, int w, int out,
-                      float* dst) {
-  const float sy = static_cast<float>(h) / out;
-  const float sx = static_cast<float>(w) / out;
-  for (int y = 0; y < out; ++y) {
-    // pixel-area-aligned bilinear (matches PIL/cv2 half-pixel centers)
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    float wy = fy - y0;
-    if (wy < 0) wy = 0;
-    for (int x = 0; x < out; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float wx = fx - x0;
-      if (wx < 0) wx = 0;
-      for (int c = 0; c < 3; ++c) {
-        float v00 = src[(y0 * w + x0) * 3 + c];
-        float v01 = src[(y0 * w + x1) * 3 + c];
-        float v10 = src[(y1 * w + x0) * 3 + c];
-        float v11 = src[(y1 * w + x1) * 3 + c];
-        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
-                  v10 * wy * (1 - wx) + v11 * wy * wx;
-        dst[(y * out + x) * 3 + c] = v / 127.5f - 1.0f;
+}  // extern "C"
+
+#include <cmath>
+
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow PRECISION_BITS
+
+inline double bicubic_filter(double x) {
+  const double a = -0.5;  // Keys kernel, PIL BICUBIC
+  if (x < 0.0) x = -x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+inline uint8_t clip8(int32_t in) {
+  if (in >= (1 << (kPrecisionBits + 8))) return 255;
+  if (in <= 0) return 0;
+  return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
+struct Coeffs {
+  std::vector<int> xmin;
+  std::vector<int> xcount;
+  std::vector<int32_t> k;  // out_size x ksize
+  int ksize = 0;
+};
+
+Coeffs build_coeffs(int in_size, int out_size) {
+  const double support_base = 2.0;  // bicubic
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = support_base * filterscale;
+  Coeffs c;
+  c.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  c.xmin.resize(out_size);
+  c.xcount.resize(out_size);
+  c.k.assign(static_cast<size_t>(out_size) * c.ksize, 0);
+  std::vector<double> w(c.ksize);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    const double ss = 1.0 / filterscale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      w[x] = bicubic_filter((x + xmin - center + 0.5) * ss);
+      ww += w[x];
+    }
+    for (int x = 0; x < xmax; ++x) {
+      const double v = w[x] / ww * (1 << kPrecisionBits);
+      c.k[static_cast<size_t>(xx) * c.ksize + x] =
+          static_cast<int32_t>(v < 0 ? v - 0.5 : v + 0.5);
+    }
+    c.xmin[xx] = xmin;
+    c.xcount[xx] = xmax;
+  }
+  return c;
+}
+
+// Horizontal pass: (h, w, 3) -> (h, out_count, 3) uint8, selecting output
+// columns [out_off, out_off + out_count) of a virtual out_w-wide resize.
+void horizontal_pass(const uint8_t* src, int h, int w, const Coeffs& c,
+                     int out_off, int out_count, uint8_t* dst) {
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+    uint8_t* orow = dst + static_cast<size_t>(y) * out_count * 3;
+    for (int xx = 0; xx < out_count; ++xx) {
+      const int gx = xx + out_off;
+      const int32_t* k = &c.k[static_cast<size_t>(gx) * c.ksize];
+      const uint8_t* p = row + c.xmin[gx] * 3;
+      const int n = c.xcount[gx];
+      int32_t s0 = 1 << (kPrecisionBits - 1);
+      int32_t s1 = s0, s2 = s0;
+      for (int x = 0; x < n; ++x) {
+        s0 += p[x * 3 + 0] * k[x];
+        s1 += p[x * 3 + 1] * k[x];
+        s2 += p[x * 3 + 2] * k[x];
       }
+      orow[xx * 3 + 0] = clip8(s0);
+      orow[xx * 3 + 1] = clip8(s1);
+      orow[xx * 3 + 2] = clip8(s2);
     }
   }
 }
 
-// uint8 HWC -> CLIP-normalized float32 (resize shortest side to `out`,
-// center crop out x out, (x/255 - mean)/std).
-void clip_normalize_pixels(const uint8_t* src, int h, int w, int out,
-                           float* dst) {
-  static const float kMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
-  static const float kStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
-  const float scale = static_cast<float>(out) / (h < w ? h : w);
-  const int nh = static_cast<int>(h * scale + 0.5f);
-  const int nw = static_cast<int>(w * scale + 0.5f);
-  const int top = (nh - out) / 2;
-  const int left = (nw - out) / 2;
-  const float sy = static_cast<float>(h) / nh;
-  const float sx = static_cast<float>(w) / nw;
-  for (int y = 0; y < out; ++y) {
-    float fy = (y + top + 0.5f) * sy - 0.5f;
-    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    float wy = fy - y0;
-    if (wy < 0) wy = 0;
-    for (int x = 0; x < out; ++x) {
-      float fx = (x + left + 0.5f) * sx - 0.5f;
-      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float wx = fx - x0;
-      if (wx < 0) wx = 0;
-      for (int c = 0; c < 3; ++c) {
-        float v00 = src[(y0 * w + x0) * 3 + c];
-        float v01 = src[(y0 * w + x1) * 3 + c];
-        float v10 = src[(y1 * w + x0) * 3 + c];
-        float v11 = src[(y1 * w + x1) * 3 + c];
-        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
-                  v10 * wy * (1 - wx) + v11 * wy * wx;
-        dst[(y * out + x) * 3 + c] = (v / 255.0f - kMean[c]) / kStd[c];
-      }
+// Vertical pass over an interleaved (h, row_elems) uint8 buffer, output rows
+// [out_off, out_off + out_count). Loop-swapped (taps outer, columns inner)
+// so GCC vectorizes the u8->i32 multiply-accumulate. The optional affine
+// epilogue (scale/bias per channel index % 3) fuses the float normalization
+// into the pass — no extra image-sized round trip.
+void vertical_pass_u8(const uint8_t* tmp, int row_elems, const Coeffs& c,
+                      int out_off, int out_count, uint8_t* dst,
+                      std::vector<int32_t>& acc) {
+  acc.resize(row_elems);
+  for (int yy = 0; yy < out_count; ++yy) {
+    const int gy = yy + out_off;
+    const int32_t* k = &c.k[static_cast<size_t>(gy) * c.ksize];
+    const int ymin = c.xmin[gy], n = c.xcount[gy];
+    int32_t* a = acc.data();
+    for (int x = 0; x < row_elems; ++x) a[x] = 1 << (kPrecisionBits - 1);
+    for (int y = 0; y < n; ++y) {
+      const uint8_t* row = tmp + static_cast<size_t>(ymin + y) * row_elems;
+      const int32_t kv = k[y];
+      for (int x = 0; x < row_elems; ++x) a[x] += row[x] * kv;
+    }
+    uint8_t* orow = dst + static_cast<size_t>(yy) * row_elems;
+    for (int x = 0; x < row_elems; ++x) orow[x] = clip8(a[x]);
+  }
+}
+
+// Normalization epilogue via a per-channel 256-entry LUT whose entries are
+// computed with numpy's exact fp32 op order ((x / d - m) / s), so outputs
+// stay bit-identical to data/protocol.py at SIMD-friendly speed.
+struct NormLut {
+  float t[3][256];
+  NormLut(const float d[3], const float m[3], const float s[3]) {
+    for (int ch = 0; ch < 3; ++ch)
+      for (int v = 0; v < 256; ++v)
+        t[ch][v] = (static_cast<float>(v) / d[ch] - m[ch]) / s[ch];
+  }
+};
+
+void vertical_pass_f32(const uint8_t* tmp, int row_elems, const Coeffs& c,
+                       int out_off, int out_count, const NormLut& lut,
+                       float* dst, std::vector<int32_t>& acc) {
+  acc.resize(row_elems);
+  for (int yy = 0; yy < out_count; ++yy) {
+    const int gy = yy + out_off;
+    const int32_t* k = &c.k[static_cast<size_t>(gy) * c.ksize];
+    const int ymin = c.xmin[gy], n = c.xcount[gy];
+    int32_t* a = acc.data();
+    for (int x = 0; x < row_elems; ++x) a[x] = 1 << (kPrecisionBits - 1);
+    for (int y = 0; y < n; ++y) {
+      const uint8_t* row = tmp + static_cast<size_t>(ymin + y) * row_elems;
+      const int32_t kv = k[y];
+      for (int x = 0; x < row_elems; ++x) a[x] += row[x] * kv;
+    }
+    float* orow = dst + static_cast<size_t>(yy) * row_elems;
+    for (int x = 0; x < row_elems; x += 3) {
+      orow[x + 0] = lut.t[0][clip8(a[x + 0])];
+      orow[x + 1] = lut.t[1][clip8(a[x + 1])];
+      orow[x + 2] = lut.t[2][clip8(a[x + 2])];
     }
   }
+}
+
+// (h, w, 3) -> (out_h, out_w, 3), uint8, PIL-exact.
+void resize_bicubic_impl(const uint8_t* src, int h, int w, int out_h,
+                         int out_w, uint8_t* dst) {
+  if (h == out_h && w == out_w) {  // PIL returns a copy for identity resize
+    std::memcpy(dst, src, static_cast<size_t>(h) * w * 3);
+    return;
+  }
+  std::vector<uint8_t> tmp(static_cast<size_t>(h) * out_w * 3);
+  const Coeffs ch_ = build_coeffs(w, out_w);
+  horizontal_pass(src, h, w, ch_, 0, out_w, tmp.data());
+  const Coeffs cv = build_coeffs(h, out_h);
+  std::vector<int32_t> acc;
+  vertical_pass_u8(tmp.data(), out_w * 3, cv, 0, out_h, dst, acc);
+}
+
+// resize + center-crop to (crop, crop) + per-channel affine, fusing the
+// crop into the passes (only the needed columns/rows are computed) and the
+// float normalization into the vertical epilogue.
+void resize_crop_normalize(const uint8_t* src, int h, int w, int nh, int nw,
+                           int crop, const float d[3], const float m[3],
+                           const float s[3], float* dst) {
+  const int top = (nh - crop) / 2;
+  const int left = (nw - crop) / 2;
+  const NormLut lut(d, m, s);
+  std::vector<uint8_t> tmp;
+  std::vector<int32_t> acc;
+  if (h == nh && w == nw) {  // identity resize: plain crop + normalize
+    for (int y = 0; y < crop; ++y) {
+      const uint8_t* row = src + (static_cast<size_t>(y + top) * w + left) * 3;
+      float* orow = dst + static_cast<size_t>(y) * crop * 3;
+      for (int x = 0; x < crop * 3; x += 3) {
+        orow[x + 0] = lut.t[0][row[x + 0]];
+        orow[x + 1] = lut.t[1][row[x + 1]];
+        orow[x + 2] = lut.t[2][row[x + 2]];
+      }
+    }
+    return;
+  }
+  const Coeffs chh = build_coeffs(w, nw);
+  tmp.resize(static_cast<size_t>(h) * crop * 3);
+  horizontal_pass(src, h, w, chh, left, crop, tmp.data());
+  const Coeffs cv = build_coeffs(h, nh);
+  vertical_pass_f32(tmp.data(), crop * 3, cv, top, crop, lut, dst, acc);
+}
+
+}  // namespace
+
+extern "C" {
+
+// exported for tests (parity vs PIL through data/protocol.py)
+void resize_bicubic(const uint8_t* src, int h, int w, int out_h, int out_w,
+                    uint8_t* dst) {
+  resize_bicubic_impl(src, h, w, out_h, out_w, dst);
+}
+
+// ---------------------------------------------------------------------------
+// Pixel kernels (bicubic resize + normalization, matching data/protocol.py)
+// ---------------------------------------------------------------------------
+
+// uint8 HWC -> float32 HWC in [-1, 1] with PIL-bicubic resize to (out, out)
+// == protocol.pixel_preprocess (x / 127.5 - 1, numpy op order).
+void normalize_pixels(const uint8_t* src, int h, int w, int out, float* dst) {
+  static const float kD[3] = {127.5f, 127.5f, 127.5f};
+  static const float kM[3] = {1.0f, 1.0f, 1.0f};
+  static const float kS[3] = {1.0f, 1.0f, 1.0f};
+  resize_crop_normalize(src, h, w, out, out, out, kD, kM, kS, dst);
+}
+
+// uint8 HWC -> CLIP-normalized float32: PIL-bicubic resize shortest side to
+// `out` (round-half-even sizes like python round()), center crop, CLIP
+// mean/std == protocol.clip_preprocess ((x / 255 - mean) / std).
+void clip_normalize_pixels(const uint8_t* src, int h, int w, int out,
+                           float* dst) {
+  static const float kD[3] = {255.0f, 255.0f, 255.0f};
+  static const float kMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
+  static const float kStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
+  const double scale = static_cast<double>(out) / (h < w ? h : w);
+  const int nh = static_cast<int>(std::nearbyint(h * scale));
+  const int nw = static_cast<int>(std::nearbyint(w * scale));
+  resize_crop_normalize(src, h, w, nh, nw, out, kD, kMean, kStd, dst);
 }
 
 // Assemble one story's tensors from f decoded frames (all h x w x 3 uint8).

@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--sr-dir", default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic data + tiny model (smoke test)")
+    p.add_argument("--native-feeder", action="store_true",
+                   help="pack pixel batches in the C++ thread pool "
+                        "(native/story_feeder.cpp, bit-exact vs the numpy "
+                        "protocol; build with `make -C native`)")
     p.add_argument("--prior-pretrained", default=None)
     p.add_argument("--text-pretrained", default=None)
     p.add_argument("--vision-pretrained", default=None)
@@ -95,7 +99,9 @@ def main(argv=None):
     else:
         from rcdms_tpu.data.datasets import StoryH5Dataset
 
-        dataset = StoryH5Dataset(ds_cfg, "train", args.tokenizer_path)
+        dataset = StoryH5Dataset(
+            ds_cfg, "train", args.tokenizer_path,
+            use_native_feeder=args.native_feeder)
         prior_cfg = PriorConfig(
             num_text_tokens=ds_cfg.max_text_len,
             temporal=TemporalConfig(max_frames=ds_cfg.num_frames))

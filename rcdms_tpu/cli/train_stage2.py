@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--sr-dir", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--native-feeder", action="store_true",
+                   help="pack pixel batches in the C++ thread pool "
+                        "(native/story_feeder.cpp, bit-exact vs the numpy "
+                        "protocol; build with `make -C native`)")
     p.add_argument("--sd-pretrained", default=None,
                    help="stable-diffusion-v1-5 dir (unet/, vae/, "
                         "text_encoder/ subfolders)")
@@ -98,7 +102,9 @@ def main(argv=None):
     else:
         from rcdms_tpu.data.datasets import StoryH5Dataset
 
-        dataset = StoryH5Dataset(ds_cfg, "train", args.tokenizer_path)
+        dataset = StoryH5Dataset(
+            ds_cfg, "train", args.tokenizer_path,
+            use_native_feeder=args.native_feeder)
         unet_cfg = StoryUNetConfig(
             remat=args.gradient_checkpointing,
             temporal=TemporalConfig(max_frames=ds_cfg.num_frames))

@@ -27,10 +27,19 @@ class StoryH5Dataset:
     cfg: DatasetConfig
     subset: str = "train"
     tokenizer_path: Optional[str] = None
+    # native C++ feeder (native/story_feeder.cpp): thread-pooled, PIL-bit-
+    # exact pixel packing so host input work overlaps device compute
+    use_native_feeder: bool = False
+    feeder_threads: int = 4
     _h5: object = field(default=None, repr=False)
+    _feeder: object = field(default=None, repr=False)
 
     def __post_init__(self):
         self.tokenizer = StoryTokenizer(self.cfg, self.tokenizer_path)
+        if self.use_native_feeder:
+            from rcdms_tpu.data.native_feeder import NativeFeeder
+
+            self._feeder = NativeFeeder(self.feeder_threads)
 
     def _ensure_open(self):
         if self._h5 is None:
@@ -62,15 +71,7 @@ class StoryH5Dataset:
                 drop_text: bool = True) -> Dict[str, np.ndarray]:
         h5 = self._ensure_open()
         f = self.cfg.num_frames
-        if self.cfg.sr_dir:  # super-resolution PNG directory variant
-            from PIL import Image
-
-            frames = [np.asarray(Image.open(
-                f"{self.cfg.sr_dir}/{index}_{i}.png").convert("RGB"))
-                for i in range(f)]
-        else:
-            frames = [self._decode_frame(h5[f"image{i}"][index], rng)
-                      for i in range(f)]
+        frames = self._load_frames(index, rng)
         captions = h5["text"][index].decode("utf-8").split("|")
         if known_length is None:
             known_length = rng.randint(0, f)  # U{0..f-1} (flintstones.py:157)
@@ -78,6 +79,44 @@ class StoryH5Dataset:
         return build_story_example(frames, captions, known_length,
                                    self.tokenizer, cfg=self.cfg,
                                    text_drop_mask=drop)
+
+    def _load_frames(self, index: int, rng: np.random.RandomState):
+        h5 = self._ensure_open()
+        f = self.cfg.num_frames
+        if self.cfg.sr_dir:  # super-resolution PNG directory variant
+            from PIL import Image
+
+            return [np.asarray(Image.open(
+                f"{self.cfg.sr_dir}/{index}_{i}.png").convert("RGB"))
+                for i in range(f)]
+        return [self._decode_frame(h5[f"image{i}"][index], rng)
+                for i in range(f)]
+
+    def _native_batch(self, idxs, rng: np.random.RandomState,
+                      drop_text: bool) -> Dict[str, np.ndarray]:
+        """Pack one batch through the C++ feeder. Consumes the SAME rng
+        stream order as the python path (per story: f frame picks, one
+        known_length draw, f drop draws), and the pixel math is bit-exact
+        vs data/protocol.py, so flipping the flag cannot change numerics."""
+        h5 = self._ensure_open()
+        f = self.cfg.num_frames
+        stories, kls, ids_rows, mask_rows = [], [], [], []
+        for i in idxs:
+            frames = self._load_frames(int(i), rng)
+            stories.append(np.stack(frames))
+            kls.append(int(rng.randint(0, f)))
+            drop = (rng.rand(f) < self.cfg.text_drop_rate
+                    if drop_text else np.zeros(f, bool))
+            caps = h5["text"][int(i)].decode("utf-8").split("|")
+            caps = ["" if d else c.lower() for c, d in zip(caps, drop)]
+            toks = self.tokenizer(caps)
+            ids_rows.append(toks["input_ids"])
+            mask_rows.append(toks["attention_mask"])
+        out = self._feeder.pack_batch(stories, kls, self.cfg.image_size,
+                                      self.cfg.clip_size)
+        out["input_ids"] = np.stack(ids_rows)
+        out["text_mask"] = np.stack(mask_rows)
+        return out
 
     def batches(self, batch_size: int, *, seed: int = 0, shard_id: int = 0,
                 num_shards: int = 1, shuffle: bool = True,
@@ -92,8 +131,12 @@ class StoryH5Dataset:
             order = order[shard_id::num_shards]
             for start in range(0, len(order) - batch_size + 1, batch_size):
                 idxs = order[start:start + batch_size]
-                yield collate([self.example(int(i), rng, drop_text=drop_text)
-                               for i in idxs])
+                if self._feeder is not None:
+                    yield self._native_batch(idxs, rng, drop_text)
+                else:
+                    yield collate([self.example(int(i), rng,
+                                                drop_text=drop_text)
+                                   for i in idxs])
             epoch += 1
 
 

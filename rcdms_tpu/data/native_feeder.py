@@ -55,14 +55,22 @@ class NativeFeeder:
 
         feeder = NativeFeeder(num_threads=4)
         out = feeder.pack_batch(frame_arrays, known_lengths, size, csize)
-    """
 
-    def __init__(self, num_threads: int = 4):
+    Output arrays come from an internal pre-faulted ring of `buffer_depth`
+    buffer sets (first-touch page faults on ~300 MB of fresh numpy pages per
+    batch cost ~6x the actual pixel work). A returned batch is overwritten
+    `buffer_depth` pack_batch calls later — consumers must device_put /
+    copy before then (the training loops do so immediately)."""
+
+    def __init__(self, num_threads: int = 4, buffer_depth: int = 2):
         self._lib = load_library()
         if self._lib is None:
             raise RuntimeError(
                 "libstory_feeder.so not built — run `make -C native`")
         self._pool = self._lib.feeder_create(num_threads)
+        self._depth = max(1, buffer_depth)
+        self._rings: Dict = {}
+        self._ring_idx: Dict = {}
 
     def close(self):
         if self._pool:
@@ -83,14 +91,29 @@ class NativeFeeder:
         b = len(stories)
         f, h, w, _ = stories[0].shape
         m = size // 8
-        out = {
-            "target": np.empty((b, f, size, size, 3), np.float32),
-            "source": np.empty((b, f, size, size, 3), np.float32),
-            "reference_clip": np.empty((b, f, csize, csize, 3), np.float32),
-            "source_clip": np.empty((b, f, csize, csize, 3), np.float32),
-            "mask_clip": np.empty((b, f, csize, csize, 3), np.float32),
-            "mask_label": np.empty((b, f, m, m, 1), np.float32),
-        }
+        key = (b, f, size, csize)
+        ring = self._rings.get(key)
+        if ring is None:
+            shapes = {
+                "target": (b, f, size, size, 3),
+                "source": (b, f, size, size, 3),
+                "reference_clip": (b, f, csize, csize, 3),
+                "source_clip": (b, f, csize, csize, 3),
+                "mask_clip": (b, f, csize, csize, 3),
+                "mask_label": (b, f, m, m, 1),
+            }
+            ring = []
+            for _ in range(self._depth):
+                bufs = {k: np.empty(s, np.float32)
+                        for k, s in shapes.items()}
+                for a in bufs.values():
+                    a.fill(0)  # pre-fault the pages once
+                ring.append(bufs)
+            self._rings[key] = ring
+            self._ring_idx[key] = 0
+        idx = self._ring_idx[key]
+        self._ring_idx[key] = (idx + 1) % self._depth
+        out = dict(ring[idx])
         f32p = ctypes.POINTER(ctypes.c_float)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         holds = []  # keep contiguous buffers alive until wait()
