@@ -46,6 +46,13 @@ class StorySampler:
     # optional ('cfg','space') inference mesh (train/sharding.py::
     # inference_mesh): CFG branches over 'cfg', latent rows over 'space'
     mesh: object = None
+    # single-chip: run the two CFG branches as a lax.map over the context
+    # pair instead of batch-doubling. Identical math and one UNet
+    # compilation, but the conv batch is b*f instead of 2*b*f — measured
+    # 10-26% faster per conv on v5e (XLA's conv tiling degrades at the
+    # CFG-doubled batch of 10) and half the UNet activation memory. With a
+    # mesh the batched form is kept (the 'cfg' axis shards it away).
+    sequential_cfg: bool = True
 
     def __call__(self, unet_params, fusion_params, cond: StoryConditioning,
                  key: Array, init_latents: Optional[Array] = None) -> Array:
@@ -58,10 +65,15 @@ class StorySampler:
         ctx_c = self.fusion.apply(fusion_params, cond.image_tokens,
                                   cond.image_proj, cond.text_hidden,
                                   cond.frame_known)
+        seq_cfg = do_cfg and self.sequential_cfg and self.mesh is None
         if do_cfg:
             ctx_u = self.fusion.apply(fusion_params, cond.image_tokens,
                                       cond.image_proj, cond.text_hidden_u,
                                       cond.frame_known)
+        if seq_cfg:
+            context = jnp.stack([ctx_u, ctx_c])  # (2, b, f, T, d)
+            masked_latents, mask_label = cond.masked_latents, cond.mask_label
+        elif do_cfg:
             context = jnp.concatenate([ctx_u, ctx_c])
             masked_latents = jnp.concatenate([cond.masked_latents] * 2)
             mask_label = jnp.concatenate([cond.mask_label] * 2)
@@ -85,15 +97,26 @@ class StorySampler:
         def body(carry, step):
             lat = carry
             i, t, prev_t = step
-            x = jnp.concatenate([lat] * 2) if do_cfg else lat
-            x = jnp.concatenate([x, mask_label, masked_latents], axis=-1)
-            x = constrain(x, self.mesh, "cfg", None, "space")
-            tb = jnp.full((x.shape[0],), t, jnp.int32)
-            pred = self.unet.apply(unet_params, x, tb, context)
-            pred = constrain(pred, self.mesh, "cfg", None, "space")
-            if do_cfg:
-                pred_u, pred_c = jnp.split(pred, 2)
+            if seq_cfg:
+                # the 9-ch concat is branch-independent; only the context
+                # differs — two explicit UNet calls (a lax.map would add
+                # ~250 ms/story of output-stacking fusions)
+                x = jnp.concatenate([lat, mask_label, masked_latents],
+                                    axis=-1)
+                tb = jnp.full((x.shape[0],), t, jnp.int32)
+                pred_u = self.unet.apply(unet_params, x, tb, context[0])
+                pred_c = self.unet.apply(unet_params, x, tb, context[1])
                 pred = cfg_combine(pred_u, pred_c, self.guidance_scale)
+            else:
+                x = jnp.concatenate([lat] * 2) if do_cfg else lat
+                x = jnp.concatenate([x, mask_label, masked_latents], axis=-1)
+                x = constrain(x, self.mesh, "cfg", None, "space")
+                tb = jnp.full((x.shape[0],), t, jnp.int32)
+                pred = self.unet.apply(unet_params, x, tb, context)
+                pred = constrain(pred, self.mesh, "cfg", None, "space")
+                if do_cfg:
+                    pred_u, pred_c = jnp.split(pred, 2)
+                    pred = cfg_combine(pred_u, pred_c, self.guidance_scale)
             noise = (jax.random.normal(jax.random.fold_in(key, i), lat.shape)
                      if self.eta > 0 else None)
             lat = self.schedule.step(pred, t, prev_t, lat, eta=self.eta,

@@ -19,6 +19,7 @@ def _read_metrics(out_dir):
     return lines, summary
 
 
+@pytest.mark.slow
 def test_evaluate_autoreg_synthetic(tmp_path):
     out = str(tmp_path / "autoreg")
     main(["--synthetic", "--autoreg", "--mode", "visualization",

@@ -1,0 +1,110 @@
+"""Multi-host bring-up smoke: two REAL processes form a jax.distributed
+cluster over CPU devices (the idiomatic stand-in for multi-host TPU — each
+process sees only its local devices, the mesh spans all of them), run the
+sharded stage-2 train step with process-sharded data, and must agree on the
+loss. Mirrors the reference's `accelerate launch --num_processes 8`
+semantics (`run_stage1_FlintstonesSV.sh:4`)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns processes; compile-heavy
+
+_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)  # per process -> 4 global
+import numpy as np
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, len(jax.devices())
+assert len(jax.local_devices()) == 2
+
+from rcdms_tpu.configs import FusionConfig, MeshConfig, OptimizerConfig, \
+    StoryUNetConfig
+from rcdms_tpu.models.fusion import FusionModule
+from rcdms_tpu.models.unet3d import StoryUNet
+from rcdms_tpu.train.loop import make_sharded_train_step, place_state
+from rcdms_tpu.train.optim import make_optimizer
+from rcdms_tpu.train.sharding import make_mesh
+from rcdms_tpu.train.stage2 import Stage2Batch, Stage2Trainer
+from rcdms_tpu.train.train_state import TrainState
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+ucfg = StoryUNetConfig.tiny()
+fcfg = FusionConfig.tiny(hidden_dim=ucfg.cross_attention_dim,
+                         text_dim=ucfg.cross_attention_dim)
+trainer = Stage2Trainer(StoryUNet(ucfg), FusionModule(fcfg))
+
+b_global, f, hw, t = 4, 5, 8, 7
+key = jax.random.PRNGKey(0)
+ks = jax.random.split(key, 6)
+# every process builds the same GLOBAL batch deterministically, then places
+# only its local shard (process-sharded data loading)
+full = Stage2Batch(
+    latents=jax.random.normal(ks[0], (b_global, f, hw, hw, 4)),
+    masked_latents=jax.random.normal(ks[1], (b_global, f, hw, hw, 4)),
+    mask_label=jax.numpy.ones((b_global, f, hw, hw, 1)),
+    image_tokens=jax.random.normal(ks[2], (b_global, f, 9,
+                                           fcfg.seen_vis_dim)),
+    image_proj=jax.random.normal(ks[3], (b_global, f, fcfg.unseen_vis_dim)),
+    text_hidden=jax.random.normal(ks[4], (b_global, f, t, fcfg.text_dim)),
+    frame_known=jax.numpy.zeros((b_global, f), bool).at[:, :2].set(True),
+)
+params = trainer.init_params(ks[5], full)
+tx = make_optimizer(OptimizerConfig(learning_rate=1e-4, warmup_steps=0))
+state = TrainState.create(params, tx)
+
+mesh = make_mesh(MeshConfig())
+state = place_state(state, mesh, zero2=True)
+sharding = NamedSharding(mesh, P("data"))
+
+def place(x):
+    x = np.asarray(x)
+    def local_cb(index):
+        return x[index]
+    return jax.make_array_from_callback(x.shape, sharding, local_cb)
+
+sbatch = jax.tree_util.tree_map(place, full)
+step = make_sharded_train_step(trainer.train_step, state, mesh, zero2=True)
+state, loss = step(state, sbatch, jax.random.PRNGKey(1))
+print(json.dumps({"pid": pid, "loss": float(loss),
+                  "n_dev": len(jax.devices())}), flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert outs[0]["n_dev"] == outs[1]["n_dev"] == 4
+    # both processes of the single program must agree on the global loss
+    assert outs[0]["loss"] == pytest.approx(outs[1]["loss"], rel=1e-6)
+    import numpy as np
+
+    assert np.isfinite(outs[0]["loss"])

@@ -126,3 +126,24 @@ def test_story_sampler_batch2():
     out = sampler(unet_p, fusion_p, cond, jax.random.PRNGKey(1))
     assert out.shape == (2, 5, 16, 16, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_story_sampler_sequential_cfg_matches_batched():
+    """Single-chip sequential-CFG (lax.map over the context pair) must equal
+    the batch-doubled form — same math, different batching."""
+    import dataclasses
+
+    from tests.test_pipeline import _build
+
+    pipeline, params, inputs = _build(jax.random.PRNGKey(11))
+    key = jax.random.PRNGKey(12)
+    seq = pipeline  # sequential_cfg defaults True
+    assert seq.story_sampler.sequential_cfg
+    batched = dataclasses.replace(
+        pipeline, story_sampler=dataclasses.replace(
+            pipeline.story_sampler, sequential_cfg=False))
+    f_seq, e_seq = jax.jit(seq.generate)(params, inputs, key)
+    f_bat, e_bat = jax.jit(batched.generate)(params, inputs, key)
+    np.testing.assert_allclose(np.asarray(f_seq), np.asarray(f_bat),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(e_seq), np.asarray(e_bat))
