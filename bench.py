@@ -138,8 +138,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--attn", default="auto", choices=["auto", "xla",
                                                        "pallas"])
-    ap.add_argument("--params-dtype", default="float32",
-                    choices=["float32", "bfloat16"])
+    ap.add_argument("--params-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 = the production TPU serving config "
+                         "(identical compute cost; fp32 kept for A/B)")
     ap.add_argument("--no-temporal", action="store_true",
                     help="diagnostic: drop temporal modules")
     ap.add_argument("--temporal-attn-layers", type=int, default=2,

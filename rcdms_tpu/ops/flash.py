@@ -103,7 +103,8 @@ def _fit_q_block(q_block: int, skv_pad: int, d_pad: int,
     """Shrink the q block until q/k/v/o tiles (double-buffered) + the fp32
     score tile fit a ~12 MB VMEM budget (fp32 inputs need half the block of
     bf16)."""
-    budget = 12 * 1024 * 1024
+    budget = 12 * 1024 * 1024  # (14 MB admits 512-row q blocks at
+    # skv=4096 but measured neutral-to-slightly-worse end to end)
     while q_block > 128:
         tiles = (q_block + 2 * skv_pad + q_block) * d_pad * itemsize * 2
         scores = q_block * skv_pad * 4
