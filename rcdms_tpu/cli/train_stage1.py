@@ -59,6 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer-path", default=None)
     p.add_argument("--output-dir", default="runs/stage1")
     p.add_argument("--resume-from-checkpoint", default=None)
+    p.add_argument("--rcdms-init-ckpt", default=None,
+                   help="warm-start the prior from a reference DeepSpeed "
+                        "blob (mp_rank_00_model_states.pt)")
     p.add_argument("--learning-rate", type=float, default=1e-5)
     p.add_argument("--warmup-steps", type=int, default=2000)
     p.add_argument("--max-train-steps", type=int, default=1_000_000)
@@ -114,6 +117,11 @@ def main(argv=None):
     vis_enc, vis_p = common.build_vision_encoder(vision_cfg,
                                                  args.vision_pretrained)
     prior, prior_p = common.build_prior(prior_cfg, args.prior_pretrained)
+    if args.rcdms_init_ckpt:
+        # warm-start from the reference's trained DeepSpeed blob
+        # (train_stage1.py:57-74 resume semantics)
+        prior_p = common.load_rcdms_stage1(args.rcdms_init_ckpt, prior_cfg,
+                                           prior_p)
 
     trainer = Stage1Trainer(prior, noise_offset=args.noise_offset)
     tx = make_optimizer(OptimizerConfig(

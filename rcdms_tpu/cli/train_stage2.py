@@ -59,6 +59,9 @@ def parse_args(argv=None):
                    help="orbax checkpoint dir to warm-start the unet")
     p.add_argument("--output-dir", default="runs/stage2")
     p.add_argument("--resume-from-checkpoint", default=None)
+    p.add_argument("--rcdms-init-ckpt", default=None,
+                   help="warm-start unet+fusion from a reference DeepSpeed "
+                        "blob (mp_rank_00_model_states.pt)")
     p.add_argument("--learning-rate", type=float, default=1e-5)
     p.add_argument("--warmup-steps", type=int, default=2000)
     p.add_argument("--max-train-steps", type=int, default=1_000_000)
@@ -124,6 +127,11 @@ def main(argv=None):
     unet, unet_p = common.build_unet(
         unet_cfg, os.path.join(sd, "unet") if sd else None)
     fusion, fusion_p = common.build_fusion(fusion_cfg)
+    if args.rcdms_init_ckpt:
+        # warm-start unet+fusion from the reference's trained DeepSpeed
+        # blob (stage2_batchtest_rcdms_model.py:225-243 split semantics)
+        unet_p, fusion_p = common.load_rcdms_stage2(
+            args.rcdms_init_ckpt, unet_cfg, unet_p, fusion_p)
 
     params = {"params": {"unet": unet_p["params"],
                          "fusion": fusion_p["params"]}}
