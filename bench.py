@@ -148,6 +148,13 @@ def main():
                     help="diagnostic: temporal attention layers per block")
     ap.add_argument("--batch", type=int, default=1,
                     help="stories per batch (BASELINE config #4 uses 8)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="DDIM steps (default: 20, the reference eval "
+                         "config; BASELINE config #4 uses 50)")
+    ap.add_argument("--encoder-propagation", type=int, default=0,
+                    help="OPT-IN approximate fast sampling: recompute the "
+                         "UNet encoder every k-th step (k>=2; changes "
+                         "numerics — excluded from the default metric)")
     ap.add_argument("--full-pipeline", action="store_true",
                     help="measure the whole two-stage pipeline (CLIP towers "
                          "+ prior + unet + VAE) instead of stage-2 only")
@@ -182,6 +189,13 @@ def main():
         args.tiny, args.params_dtype, use_temporal=not args.no_temporal,
         temporal_attn_layers=args.temporal_attn_layers, batch=args.batch,
         mesh=mesh)
+    if args.steps or args.encoder_propagation:
+        import dataclasses
+
+        sampler = dataclasses.replace(
+            sampler, num_steps=args.steps or sampler.num_steps,
+            encoder_propagation=args.encoder_propagation)
+        steps = args.steps or steps
     frames = frames * args.batch
     run = jax.jit(sampler.__call__)
 
@@ -222,6 +236,7 @@ def main():
         "attn": args.attn,
         "params_dtype": args.params_dtype,
         "n_chips": n_chips,
+        "encoder_propagation": args.encoder_propagation,
     }
     print(json.dumps(result))
     return 0

@@ -84,6 +84,10 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 = production TPU config)")
+    p.add_argument("--encoder-propagation", type=int, default=0,
+                   help="OPT-IN approximate fast sampling: recompute the "
+                        "UNet encoder every k-th step (k>=2 changes "
+                        "numerics; keep 0 for reference parity)")
     p.add_argument("--shard-story", action="store_true",
                    help="shard each single story over ALL local devices "
                         "(('cfg','space') inference mesh) to cut latency "
@@ -182,10 +186,10 @@ def build_pipeline(args):
                                    num_steps=args.num_inference_steps,
                                    guidance_scale=args.guidance_scale,
                                    mesh=mesh),
-        story_sampler=StorySampler(unet, fusion,
-                                   num_steps=args.num_inference_steps,
-                                   guidance_scale=args.guidance_scale,
-                                   mesh=mesh),
+        story_sampler=StorySampler(
+            unet, fusion, num_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, mesh=mesh,
+            encoder_propagation=getattr(args, "encoder_propagation", 0)),
         mesh=mesh)
     params = {"text_s1": text1_p, "text_s2": text2_p, "vision": vision_p,
               "vae": vae_p, "prior": prior_p, "unet": unet_p,

@@ -53,6 +53,14 @@ class StorySampler:
     # CFG-doubled batch of 10) and half the UNet activation memory. With a
     # mesh the batched form is kept (the 'cfg' axis shards it away).
     sequential_cfg: bool = True
+    # OPT-IN approximate fast sampling ("Faster Diffusion", arXiv
+    # 2312.09608 encoder propagation): recompute the UNet encoder (down
+    # path) only every k-th step and reuse the cached encoder features on
+    # the other steps — the decoder still sees the current step's time
+    # embedding and latent-independent conditioning. k <= 1 (default 0) is
+    # OFF = bit-exact reference math; k >= 2 CHANGES NUMERICS and must not
+    # be used for the parity gate.
+    encoder_propagation: int = 0
 
     def __call__(self, unet_params, fusion_params, cond: StoryConditioning,
                  key: Array, init_latents: Optional[Array] = None) -> Array:
@@ -94,25 +102,71 @@ class StorySampler:
         ts = jnp.asarray(self.schedule.timesteps(self.num_steps))
         prev_ts = jnp.asarray(self.schedule.prev_timesteps(self.num_steps))
 
+        prop = int(self.encoder_propagation or 0)
+        use_prop = prop >= 2
+        from rcdms_tpu.models.unet3d import StoryUNet
+
+        def call_unet(x, t, ctx, cache, is_key):
+            """UNet forward; with encoder propagation the down path only
+            runs when is_key, otherwise the cached features are decoded
+            under the current time embedding."""
+            tb = jnp.full((x.shape[0],), t, jnp.int32)
+            if not use_prop:
+                return self.unet.apply(unet_params, x, tb, ctx), cache
+            temb = self.unet.apply(unet_params, tb,
+                                   method=StoryUNet.time_embed)
+
+            def key_fn(_):
+                h, skips = self.unet.apply(unet_params, x, temb, ctx,
+                                           method=StoryUNet.encode)
+                return (h, tuple(skips))
+
+            cache = jax.lax.cond(is_key, key_fn, lambda c: c, cache)
+            h, skips = cache
+            out = self.unet.apply(unet_params, h, list(skips), temb, ctx,
+                                  method=StoryUNet.decode)
+            return out, cache
+
+        def init_cache(x_tmpl, ctx):
+            """Zero cache matching encode's output types exactly (the scan
+            carry and lax.cond branches must agree)."""
+            if not use_prop:
+                return ()
+            t0 = jnp.zeros((x_tmpl.shape[0],), jnp.int32)
+            shapes = jax.eval_shape(
+                lambda xx, tt, cc: self.unet.apply(
+                    unet_params, xx,
+                    self.unet.apply(unet_params, tt,
+                                    method=StoryUNet.time_embed),
+                    cc, method=StoryUNet.encode), x_tmpl, t0, ctx)
+            h_s, skips_s = shapes
+            return (jnp.zeros(h_s.shape, h_s.dtype),
+                    tuple(jnp.zeros(s.shape, s.dtype) for s in skips_s))
+
         def body(carry, step):
-            lat = carry
+            lat, caches = carry
             i, t, prev_t = step
+            is_key = (i % prop) == 0 if use_prop else jnp.bool_(True)
             if seq_cfg:
                 # the 9-ch concat is branch-independent; only the context
                 # differs — two explicit UNet calls (a lax.map would add
                 # ~250 ms/story of output-stacking fusions)
                 x = jnp.concatenate([lat, mask_label, masked_latents],
                                     axis=-1)
-                tb = jnp.full((x.shape[0],), t, jnp.int32)
-                pred_u = self.unet.apply(unet_params, x, tb, context[0])
-                pred_c = self.unet.apply(unet_params, x, tb, context[1])
+                cache_u, cache_c = caches
+                pred_u, cache_u = call_unet(x, t, context[0], cache_u,
+                                            is_key)
+                pred_c, cache_c = call_unet(x, t, context[1], cache_c,
+                                            is_key)
+                caches = (cache_u, cache_c)
                 pred = cfg_combine(pred_u, pred_c, self.guidance_scale)
             else:
                 x = jnp.concatenate([lat] * 2) if do_cfg else lat
                 x = jnp.concatenate([x, mask_label, masked_latents], axis=-1)
                 x = constrain(x, self.mesh, "cfg", None, "space")
-                tb = jnp.full((x.shape[0],), t, jnp.int32)
-                pred = self.unet.apply(unet_params, x, tb, context)
+                (cache,) = caches
+                pred, cache = call_unet(x, t, context, cache, is_key)
+                caches = (cache,)
                 pred = constrain(pred, self.mesh, "cfg", None, "space")
                 if do_cfg:
                     pred_u, pred_c = jnp.split(pred, 2)
@@ -122,8 +176,20 @@ class StorySampler:
             lat = self.schedule.step(pred, t, prev_t, lat, eta=self.eta,
                                      noise=noise)
             lat = constrain(lat, self.mesh, None, None, "space")
-            return lat, None
+            return (lat, caches), None
 
+        if not use_prop:
+            caches0 = ((), ()) if seq_cfg else ((),)
+        elif seq_cfg:
+            x_tmpl = jnp.concatenate([latents, mask_label, masked_latents],
+                                     axis=-1)
+            caches0 = (init_cache(x_tmpl, context[0]),
+                       init_cache(x_tmpl, context[1]))
+        else:
+            x2 = jnp.concatenate([latents] * 2) if do_cfg else latents
+            x_tmpl = jnp.concatenate([x2, mask_label, masked_latents],
+                                     axis=-1)
+            caches0 = (init_cache(x_tmpl, context),)
         steps = (jnp.arange(self.num_steps), ts, prev_ts)
-        latents, _ = jax.lax.scan(body, latents, steps)
+        (latents, _), _ = jax.lax.scan(body, (latents, caches0), steps)
         return latents

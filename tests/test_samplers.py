@@ -147,3 +147,37 @@ def test_story_sampler_sequential_cfg_matches_batched():
     np.testing.assert_allclose(np.asarray(f_seq), np.asarray(f_bat),
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(e_seq), np.asarray(e_bat))
+
+
+def test_story_sampler_encoder_propagation():
+    """Opt-in fast sampling (encoder reuse every k steps): exact when every
+    step is a key step (1 step), finite + right-shaped when caching kicks
+    in at k=2."""
+    import dataclasses
+
+    from tests.test_pipeline import _build
+
+    pipeline, params, inputs = _build(jax.random.PRNGKey(13))
+    key = jax.random.PRNGKey(14)
+
+    def sampler(**kw):
+        return dataclasses.replace(pipeline.story_sampler, **kw)
+
+    def run(s, steps):
+        p = dataclasses.replace(
+            pipeline, story_sampler=dataclasses.replace(s, num_steps=steps),
+            prior_sampler=dataclasses.replace(pipeline.prior_sampler,
+                                              num_steps=steps))
+        return jax.jit(p.generate)(params, inputs, key)
+
+    # one step: the single step is a key step -> bit-identical to exact
+    f_exact1, _ = run(sampler(encoder_propagation=0), 1)
+    f_prop1, _ = run(sampler(encoder_propagation=2), 1)
+    np.testing.assert_array_equal(np.asarray(f_exact1), np.asarray(f_prop1))
+
+    # two steps with k=2: step 1 reuses the encoder -> approximate
+    f_prop2, _ = run(sampler(encoder_propagation=2), 2)
+    arr = np.asarray(f_prop2)
+    assert np.isfinite(arr).all() and arr.shape == (1, 5, 32, 32, 3)
+    f_exact2, _ = run(sampler(encoder_propagation=0), 2)
+    assert not np.array_equal(arr, np.asarray(f_exact2))
