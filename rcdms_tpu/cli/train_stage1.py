@@ -16,11 +16,9 @@ Smoke mode (no pretrained dirs, synthetic data): --synthetic.
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rcdms_tpu.configs import (
     CLIPTextConfig,

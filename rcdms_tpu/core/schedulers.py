@@ -18,7 +18,6 @@ time for accuracy, cast to float32 jnp on first use.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from functools import cached_property
 from typing import Optional, Tuple

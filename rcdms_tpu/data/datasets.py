@@ -9,7 +9,6 @@ numpy only; batches feed `jax.device_put` / per-process sharding (the
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, Optional
 

@@ -8,8 +8,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-import numpy as np
 
 
 def _mngr(directory: str, max_to_keep: int = 3):

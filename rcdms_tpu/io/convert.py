@@ -23,7 +23,7 @@ torch Conv2d (out,in,kh,kw) -> flax Conv kernel (kh,kw,in,out);
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping, Optional
+from typing import Dict, Mapping, Optional
 
 import numpy as np
 

@@ -201,8 +201,6 @@ def build_tiny_pipeline(key: Optional[Array] = None,
                         num_steps: int = 2):
     """Tiny random-weights two-stage pipeline + params + example inputs —
     shared by the unit tests, the multichip dryrun, and smoke benches."""
-    import dataclasses
-
     from rcdms_tpu.configs import (
         CLIPTextConfig,
         CLIPVisionConfig,

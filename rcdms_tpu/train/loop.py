@@ -8,7 +8,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from rcdms_tpu.train.sharding import (
     batch_sharding,

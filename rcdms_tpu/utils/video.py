@@ -5,7 +5,7 @@ reference's `src/utils/util.py` (`save_videos_grid` :21-33, `ddim_inversion`
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import numpy as np
 
