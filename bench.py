@@ -32,7 +32,8 @@ BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
 
 def build(tiny: bool, params_dtype: str = "float32",
           use_temporal: bool = True, temporal_attn_layers: int = 2,
-          batch: int = 1, mesh=None):
+          batch: int = 1, mesh=None, image_size: int = 512,
+          frames: int = None, guidance: float = 2.0):
     from rcdms_tpu.configs import FusionConfig, StoryUNetConfig
     from rcdms_tpu.models.fusion import FusionModule
     from rcdms_tpu.models.unet3d import StoryUNet
@@ -49,15 +50,16 @@ def build(tiny: bool, params_dtype: str = "float32",
 
         ucfg = StoryUNetConfig(  # SD1.5-scale
             use_temporal=use_temporal,
+            num_frames=frames or 5,
             temporal=TemporalConfig(
                 attn_layers_per_block=temporal_attn_layers))
         fcfg = FusionConfig()
-        hw, n_vis, steps = 64, 257, 20
+        hw, n_vis, steps = image_size // 8, 257, 20
 
     unet = StoryUNet(ucfg, dtype=dtype)
     fusion = FusionModule(fcfg, dtype=dtype)
-    sampler = StorySampler(unet, fusion, num_steps=steps, guidance_scale=2.0,
-                           mesh=mesh)
+    sampler = StorySampler(unet, fusion, num_steps=steps,
+                           guidance_scale=guidance, mesh=mesh)
 
     b, f, t = batch, ucfg.num_frames, 91 if not tiny else 7
     key = jax.random.PRNGKey(0)
@@ -148,6 +150,14 @@ def main():
                     help="diagnostic: temporal attention layers per block")
     ap.add_argument("--batch", type=int, default=1,
                     help="stories per batch (BASELINE config #4 uses 8)")
+    ap.add_argument("--image-size", type=int, default=512,
+                    help="pixel size; latents are size/8 (BASELINE config "
+                         "#2 uses 256)")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="frames per story (config #2 uses 1)")
+    ap.add_argument("--guidance-scale", type=float, default=2.0,
+                    help="CFG scale (config #2 uses 7.5; compute cost is "
+                         "scale-independent)")
     ap.add_argument("--steps", type=int, default=None,
                     help="DDIM steps (default: 20, the reference eval "
                          "config; BASELINE config #4 uses 50)")
@@ -188,7 +198,8 @@ def main():
     sampler, unet_p, fusion_p, cond, frames, steps = build(
         args.tiny, args.params_dtype, use_temporal=not args.no_temporal,
         temporal_attn_layers=args.temporal_attn_layers, batch=args.batch,
-        mesh=mesh)
+        mesh=mesh, image_size=args.image_size, frames=args.frames,
+        guidance=args.guidance_scale)
     if args.steps or args.encoder_propagation:
         import dataclasses
 
