@@ -40,15 +40,18 @@ def _use_frame_kernel() -> bool:
 
 def _use_packed_flash(seq_q: int, seq_k: int, head_dim: int) -> bool:
     """Long-sequence attention goes to the packed Pallas kernel when the
-    shapes divide cleanly (no runtime row pads). The projections then emit
+    shapes divide cleanly (no runtime q-row pads). The projections then emit
     head-interleave-padded lanes via PaddedDense — no HBM pad/transpose ops
-    in the sampling loop (round-1 profile: ~10% of step time)."""
+    in the sampling loop (round-1 profile: ~10% of step time). Short
+    contexts (cross attention, 91 caption tokens) are row-padded to a lane
+    multiple before the k/v projections — loop-invariant, so the pad hoists
+    out of the sampling scan — and masked inside the kernel via kv_len."""
     if not _use_frame_kernel():
         return False
     from rcdms_tpu.ops.flash import packed_ok
 
-    return (seq_q >= 256 and head_dim <= 256 and seq_k % LANE == 0
-            and packed_ok(seq_q, seq_k))
+    return (seq_q >= 256 and head_dim <= 256
+            and packed_ok(seq_q, _round_up(seq_k, LANE)))
 
 
 class Attention(nn.Module):
@@ -137,10 +140,19 @@ class Attention(nn.Module):
         # kernel reading the projections' head-interleave-padded layout
         if mask is None and _use_packed_flash(x.shape[-2], ctx.shape[-2],
                                               self.head_dim):
-            from rcdms_tpu.ops.flash import flash_attention_packed
+            from rcdms_tpu.ops.flash import (
+                DEFAULT_Q_BLOCK,
+                flash_attention_packed,
+            )
 
             group = _round_up(self.head_dim, LANE)
             spec = ("interleave", self.heads, self.head_dim, group)
+            skv = ctx.shape[-2]
+            skv_pad = _round_up(skv, LANE)
+            if skv_pad != skv:
+                pad = ([(0, 0)] * (ctx.ndim - 2)
+                       + [(0, skv_pad - skv), (0, 0)])
+                ctx = jnp.pad(ctx, pad)
             q = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
                             name="to_q")(x)
             k = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
@@ -148,7 +160,8 @@ class Attention(nn.Module):
             v = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
                             name="to_v")(ctx)
             o = flash_attention_packed(q, k, v, self.heads,
-                                       self.head_dim ** -0.5, group)
+                                       self.head_dim ** -0.5, group,
+                                       DEFAULT_Q_BLOCK, skv)
             return PaddedDense(out_dim, True, self.dtype, in_pad=spec,
                                name="to_out")(o)
 

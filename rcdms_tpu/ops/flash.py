@@ -143,29 +143,48 @@ def _packed_xla_reference(q: Array, k: Array, v: Array, heads: int,
     return o.reshape(q.shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention_packed(q: Array, k: Array, v: Array, heads: int,
                            scale: float, group: int = LANE,
-                           q_block: int = DEFAULT_Q_BLOCK) -> Array:
+                           q_block: int = DEFAULT_Q_BLOCK,
+                           kv_len: int | None = None) -> Array:
     """Fused attention on head-interleave-padded inputs.
 
     q: (..., Sq, heads*group); k/v: (..., Skv, heads*group); lanes
     [h*group + head_dim, (h+1)*group) must be zero (the padded-projection
-    contract; group is a multiple of 128). Returns (..., Sq, heads*group)
-    with the same zero-lane structure. Requires packed_ok(Sq, Skv)."""
-    return _flash_packed_forward(q, k, v, heads, scale, group, q_block)
+    contract; group is a multiple of 128). `kv_len`: real KV rows when the
+    caller padded the context sequence to a 128 multiple (cross attention;
+    padded rows are masked before the softmax). Returns
+    (..., Sq, heads*group) with the same zero-lane structure. Requires
+    packed_ok(Sq, Skv)."""
+    return _flash_packed_forward(q, k, v, heads, scale, group, q_block,
+                                 kv_len)
 
 
-def _flash_packed_fwd(q, k, v, heads, scale, group, q_block):
-    return (_flash_packed_forward(q, k, v, heads, scale, group, q_block),
+def _flash_packed_fwd(q, k, v, heads, scale, group, q_block, kv_len):
+    return (_flash_packed_forward(q, k, v, heads, scale, group, q_block,
+                                  kv_len),
             (q, k, v))
 
 
-def _flash_packed_bwd(heads, scale, group, q_block, residuals, g):
+def _flash_packed_bwd(heads, scale, group, q_block, kv_len, residuals, g):
     q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda a, b, c: _packed_xla_reference(a, b, c, heads, scale, group),
-        q, k, v)
+    real = kv_len if kv_len is not None else k.shape[-2]
+
+    def ref(a, b, c):
+        if real != b.shape[-2]:
+            b = b[..., :real, :]
+            c = c[..., :real, :]
+            o = _packed_xla_reference(a, b, c, heads, scale, group)
+            return o
+        return _packed_xla_reference(a, b, c, heads, scale, group)
+
+    if real != k.shape[-2]:
+        _, vjp = jax.vjp(ref, q, k[..., :real, :], v[..., :real, :])
+        dq, dk, dv = vjp(g)
+        pad = [(0, 0)] * (k.ndim - 2) + [(0, k.shape[-2] - real), (0, 0)]
+        return dq, jnp.pad(dk, pad), jnp.pad(dv, pad)
+    _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
 
 
@@ -173,15 +192,18 @@ flash_attention_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "group",
-                                             "q_block"))
+                                             "q_block", "kv_len"))
 def _flash_packed_forward(q: Array, k: Array, v: Array, heads: int,
                           scale: float, group: int = LANE,
-                          q_block: int = DEFAULT_Q_BLOCK) -> Array:
+                          q_block: int = DEFAULT_Q_BLOCK,
+                          kv_len: int | None = None) -> Array:
     orig_shape = q.shape
     *lead, sq, hd = q.shape
     assert hd == heads * group and group % LANE == 0, (hd, heads, group)
     skv = k.shape[-2]
     assert packed_ok(sq, skv, q_block), (sq, skv)
+    if kv_len is None:
+        kv_len = skv
     B = math.prod(lead) if lead else 1
 
     q_block = min(q_block, sq)
@@ -193,7 +215,7 @@ def _flash_packed_forward(q: Array, k: Array, v: Array, heads: int,
 
     grid = (B, heads, sq // q_block)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_len=skv),
+        functools.partial(_attn_kernel, scale=scale, kv_len=kv_len),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, q_block, group), lambda b, h, i: (b, i, h),

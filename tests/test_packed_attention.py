@@ -205,6 +205,38 @@ def test_attention_module_packed_flash_matches_xla(interpret_kernels):
                                atol=2e-5)
 
 
+def test_attention_module_packed_cross_short_kv_matches_xla(
+        interpret_kernels):
+    """Cross attention with a 91-token context (not a lane multiple): the
+    packed path row-pads the context and masks via kv_len — must equal the
+    XLA path."""
+    x = jax.random.normal(jax.random.PRNGKey(30), (2, 256, 80))
+    ctx = jax.random.normal(jax.random.PRNGKey(31), (2, 91, 24))
+    set_default_attention_impl("xla")
+    try:
+        attn = Attention(2, 40)
+        params = attn.init(jax.random.PRNGKey(32), x, context=ctx)
+        want = attn.apply(params, x, context=ctx)
+    finally:
+        set_default_attention_impl("auto")
+    set_default_attention_impl("pallas")
+    try:
+        got = attn.apply(params, x, context=ctx)
+    finally:
+        set_default_attention_impl("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # grads flow through the kv_len backward (padded rows get zero grads)
+    set_default_attention_impl("pallas")
+    try:
+        g = jax.grad(lambda p: jnp.sum(attn.apply(p, x, context=ctx) ** 2))(
+            params)
+    finally:
+        set_default_attention_impl("auto")
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+
+
 def test_attention_module_frame_kernel_matches_xla(interpret_kernels):
     x = jax.random.normal(jax.random.PRNGKey(9), (2, 64, 5, 48))
     _, params, want = _attention_apply("xla", x, heads=4, head_dim=12)
