@@ -96,7 +96,8 @@ def build(tiny: bool, params_dtype: str = "float32",
     return sampler, unet_p, fusion_p, cond, f, steps
 
 
-def build_full_pipeline(tiny: bool, steps: int = 20):
+def build_full_pipeline(tiny: bool, steps: int = 20,
+                        encoder_propagation: int = 0):
     """Full two-stage pipeline (CLIP towers + prior + unet + fusion + VAE)
     with random weights — the BASELINE north-star config (5-frame 512px
     story, both stages, one compiled program)."""
@@ -107,7 +108,9 @@ def build_full_pipeline(tiny: bool, steps: int = 20):
 
     argv = ["--synthetic"] if tiny else ["--dtype", "bfloat16"]
     args = evaluate.parse_args(argv + ["--num-inference-steps", str(steps),
-                                       "--guidance-scale", "2.0"])
+                                       "--guidance-scale", "2.0",
+                                       "--encoder-propagation",
+                                       str(encoder_propagation)])
     # no pretrained dirs => zero-init at the configured (full) size, born in
     # bf16 (fp32 params of all five towers are ~18 GB and overflow one
     # chip's HBM; zeros give identical compute cost to trained weights)
@@ -257,7 +260,8 @@ def main_full_pipeline(args):
     import numpy as np
 
     pipeline, params, inputs, frames = build_full_pipeline(
-        args.tiny, steps=3 if args.tiny else 20)
+        args.tiny, steps=3 if args.tiny else 20,
+        encoder_propagation=args.encoder_propagation)
     run = jax.jit(pipeline.generate)
 
     def sync(out):
