@@ -233,8 +233,11 @@ def main():
         t0 = time.perf_counter()
         sync(run(unet_p, fusion_p, cond, k))
         times.append(time.perf_counter() - t0)
-    times.sort()
-    p50 = times[len(times) // 2]
+    # true median: with an even repeat count the upper-middle element would
+    # let one tunnel-hiccup outlier masquerade as the p50
+    import statistics
+
+    p50 = statistics.median(times)
     fps = frames / p50 / n_chips
 
     result = {
@@ -280,8 +283,11 @@ def main_full_pipeline(args):
         t0 = time.perf_counter()
         sync(run(params, inputs, jax.random.fold_in(key, i)))
         times.append(time.perf_counter() - t0)
-    times.sort()
-    p50 = times[len(times) // 2]
+    # true median: with an even repeat count the upper-middle element would
+    # let one tunnel-hiccup outlier masquerade as the p50
+    import statistics
+
+    p50 = statistics.median(times)
     fps = frames / p50
     print(json.dumps({
         "metric": "two_stage_frames_per_sec_per_chip",
