@@ -187,23 +187,53 @@ def load_rcdms_blob(path: str) -> dict:
     """Load the reference's DeepSpeed `mp_rank_00_model_states.pt` (or a
     bare state-dict .pt) and return the prefix-split numpy dicts
     {seen, unseen, unet, rest} (`stage2_batchtest_rcdms_model.py:225-243`).
-    Accepts a checkpoint directory too (finds the mp_rank file inside)."""
+    Accepts a checkpoint directory too: DeepSpeed's `latest` tag is
+    honored; otherwise exactly one *model_states.pt may exist (several
+    step subdirectories without a tag are ambiguous and raise).
+
+    Security note: checkpoints are pickle files. `--rcdms-*-ckpt` paths
+    must be trusted — loading falls back to full (code-executing)
+    unpickling when the weights-only load cannot parse the blob."""
     import torch
 
     if os.path.isdir(path):
-        for root, _, files in os.walk(path):
+        # DeepSpeed writes a `latest` tag file naming the current step dir
+        # (save_checkpoint default); prefer it when present
+        tag_file = os.path.join(path, "latest")
+        if os.path.isfile(tag_file):
+            with open(tag_file) as fh:
+                tag = fh.read().strip()
+            tagged = os.path.join(path, tag)
+            if os.path.isdir(tagged):
+                path = tagged
+        candidates = []
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
             for name in sorted(files):
                 if name.endswith("model_states.pt"):
-                    path = os.path.join(root, name)
-                    break
-            if path.endswith("model_states.pt"):
-                break
-        else:
+                    candidates.append(os.path.join(root, name))
+        if not candidates:
             raise FileNotFoundError(f"no *model_states.pt under {path}")
+        if len(candidates) > 1:
+            raise ValueError(
+                f"ambiguous checkpoint dir {path}: {len(candidates)} "
+                f"*model_states.pt files ({candidates[:3]}...) and no "
+                f"DeepSpeed 'latest' tag — pass the step directory "
+                f"explicitly")
+        path = candidates[0]
     try:
         blob = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        blob = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"weights-only load of {path} failed ({type(e).__name__}: {e});"
+            " falling back to full unpickling — only do this with TRUSTED"
+            " checkpoint files (arbitrary pickle code runs)")
+        try:
+            blob = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception as e2:
+            raise RuntimeError(f"could not load checkpoint {path}") from e2
     if isinstance(blob, dict) and "module" in blob:
         blob = blob["module"]
     return C.split_deepspeed_blob(C.to_numpy_state_dict(blob))

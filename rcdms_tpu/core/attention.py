@@ -115,27 +115,6 @@ class Attention(nn.Module):
             o = jnp.swapaxes(o, 1, 2)  # back to (b, f, n, inner)
             return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(o)
 
-        # tiny-sequence self-attention (the f=5 temporal axis): Pallas
-        # frame-attention kernel — computed as batched matmuls it wastes
-        # >95% of each MXU tile (see ops/frame_attention.py). Projections
-        # emit tail-padded lanes; the out-projection consumes them.
-        if (context is None and mask is None and x.shape[-2] <= 8
-                and _use_frame_kernel()):
-            from rcdms_tpu.ops.frame_attention import frame_attention_packed
-
-            c_pad = _round_up(inner, LANE)
-            spec = ("tail", inner, c_pad)
-            q = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
-                            name="to_q")(x)
-            k = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
-                            name="to_k")(x)
-            v = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
-                            name="to_v")(x)
-            o = frame_attention_packed(q, k, v, self.heads, inner,
-                                       scale=self.head_dim ** -0.5)
-            return PaddedDense(out_dim, True, self.dtype, in_pad=spec,
-                               name="to_out")(o)
-
         # long-sequence (spatial self/cross) attention: packed Pallas flash
         # kernel reading the projections' head-interleave-padded layout
         if mask is None and _use_packed_flash(x.shape[-2], ctx.shape[-2],

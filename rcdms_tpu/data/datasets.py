@@ -30,6 +30,10 @@ class StoryH5Dataset:
     # exact pixel packing so host input work overlaps device compute
     use_native_feeder: bool = False
     feeder_threads: int = 4
+    # ring depth of the feeder's output buffers: a yielded batch is valid
+    # for feeder_buffer_depth - 1 further batches; raise this if a consumer
+    # prefetches/holds more than one batch at a time
+    feeder_buffer_depth: int = 2
     _h5: object = field(default=None, repr=False)
     _feeder: object = field(default=None, repr=False)
 
@@ -38,7 +42,8 @@ class StoryH5Dataset:
         if self.use_native_feeder:
             from rcdms_tpu.data.native_feeder import NativeFeeder
 
-            self._feeder = NativeFeeder(self.feeder_threads)
+            self._feeder = NativeFeeder(self.feeder_threads,
+                                        self.feeder_buffer_depth)
 
     def _ensure_open(self):
         if self._h5 is None:

@@ -60,7 +60,11 @@ class NativeFeeder:
     buffer sets (first-touch page faults on ~300 MB of fresh numpy pages per
     batch cost ~6x the actual pixel work). A returned batch is overwritten
     `buffer_depth` pack_batch calls later — consumers must device_put /
-    copy before then (the training loops do so immediately)."""
+    copy before then (the training loops do so immediately). Returned
+    arrays are read-only views into the ring so accidental in-place
+    mutation fails loudly; consumers that prefetch or hold more than
+    `buffer_depth - 1` batches must raise `buffer_depth` (exposed as
+    `StoryH5Dataset.feeder_buffer_depth`) or pass `copy=True`."""
 
     def __init__(self, num_threads: int = 4, buffer_depth: int = 2):
         self._lib = load_library()
@@ -85,9 +89,11 @@ class NativeFeeder:
 
     def pack_batch(self, stories: Sequence[np.ndarray],
                    known_lengths: Sequence[int], size: int,
-                   csize: int) -> Dict[str, np.ndarray]:
+                   csize: int, copy: bool = False) -> Dict[str, np.ndarray]:
         """stories: list of (f, h, w, 3) uint8 arrays (equal shapes).
-        Returns the batched pixel tensors (b leading dim)."""
+        Returns the batched pixel tensors (b leading dim) as read-only
+        views into the internal ring (valid for `buffer_depth - 1` further
+        pack_batch calls); `copy=True` returns owned, writable copies."""
         b = len(stories)
         f, h, w, _ = stories[0].shape
         m = size // 8
@@ -130,6 +136,17 @@ class NativeFeeder:
                 out["mask_clip"][i].ctypes.data_as(f32p),
                 out["mask_label"][i].ctypes.data_as(f32p))
         self._lib.feeder_wait(self._pool)
+        if copy:
+            out = {k: v.copy() for k, v in out.items()}
+        else:
+            # read-only views: writes to a ring-backed batch fail loudly
+            # instead of silently corrupting a later batch
+            ro = {}
+            for k, v in out.items():
+                view = v.view()
+                view.flags.writeable = False
+                ro[k] = view
+            out = ro
         out["frame_known"] = (np.arange(f)[None, :]
                               < np.asarray(known_lengths)[:, None])
         return out

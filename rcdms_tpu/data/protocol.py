@@ -61,6 +61,29 @@ def white_image(size: int) -> np.ndarray:
     return np.full((size, size, 3), 255, np.uint8)
 
 
+_CONST_CACHE: Dict[tuple, np.ndarray] = {}
+
+
+def _cached_const(kind: str, size: int, csize: int) -> np.ndarray:
+    """Per-(size, csize) cache of the black/white protocol constants: the
+    reference recomputes three PIL resizes + normalizes per story
+    (`flintstones.py:159-199`); these never change, so compute once (the
+    C++ feeder does the same per batch, `native/story_feeder.cpp:286-292`).
+    Returned arrays are read-only — callers stack/copy them."""
+    key = (kind, size, csize)
+    out = _CONST_CACHE.get(key)
+    if out is None:
+        if kind == "black_px":
+            out = pixel_preprocess(black_image(size), size)
+        elif kind == "black_cl":
+            out = clip_preprocess(black_image(size), csize)
+        else:
+            out = clip_preprocess(white_image(size), csize)
+        out.flags.writeable = False
+        _CONST_CACHE[key] = out
+    return out
+
+
 @dataclass
 class StoryTokenizer:
     """CLIP tokenizer wrapper: adds the dataset character tokens and pads to
@@ -135,9 +158,9 @@ def build_story_example(
     size, csize = cfg.image_size, cfg.clip_size
     m = size // 8
 
-    black_px = pixel_preprocess(black_image(size), size)
-    black_cl = clip_preprocess(black_image(size), csize)
-    white_cl = clip_preprocess(white_image(size), csize)
+    black_px = _cached_const("black_px", size, csize)
+    black_cl = _cached_const("black_cl", size, csize)
+    white_cl = _cached_const("white_cl", size, csize)
 
     target = np.stack([pixel_preprocess(fr, size) for fr in frames])
     reference_clip = np.stack([clip_preprocess(fr, csize) for fr in frames])

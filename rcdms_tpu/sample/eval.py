@@ -60,6 +60,10 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0,
     win = min(win_size, min(a.shape))
     if win % 2 == 0:
         win -= 1
+    if win < 3:
+        raise ValueError(
+            f"image sides {a.shape} too small for SSIM (clamped window "
+            f"{win} < 3; skimage raises here too)")
     np_win = win ** a.ndim
     cov_norm = np_win / (np_win - 1)  # sample covariance
     ux = _uniform_filter(a, win)

@@ -33,14 +33,25 @@ def test_flash_attention_grads_match_xla():
 
 def test_frame_attention_grads_match_xla():
     key = jax.random.PRNGKey(1)
-    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (3, 4, 5, 16))
+    flash.set_kernel_interpret(True)
+    try:
+        _frame_attention_grads_check(key)
+    finally:
+        flash.set_kernel_interpret(False)
+
+
+def _frame_attention_grads_check(key):
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (3, 5, 4, 128))
                for i in range(3))
+    q, k, v = (t.at[..., 16:].set(0) for t in (q, k, v))
 
     def loss_kernel(q, k, v):
-        return jnp.sum(fa.frame_attention(q, k, v, 2, None, 128, True) ** 2)
+        return jnp.sum(fa.frame_attention_bfnc(q, k, v, 2, 16, None,
+                                               128) ** 2)
 
     def loss_ref(q, k, v):
-        return jnp.sum(fa._xla_reference(q, k, v, 2, 8 ** -0.5) ** 2)
+        return jnp.sum(fa._bfnc_xla_reference(q, k, v, 2, 8 ** -0.5,
+                                              16) ** 2)
 
     g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)

@@ -80,24 +80,6 @@ def test_flash_packed_grad_flows(interpret_kernels):
                                atol=2e-4)
 
 
-def test_frame_packed_matches_legacy(interpret_kernels):
-    key = jax.random.PRNGKey(3)
-    heads, c, f = 4, 48, 5
-    c_pad = 128
-    q, k, v = (jax.random.normal(ks, (64, f, c))
-               for ks in jax.random.split(key, 3))
-    want = fa.frame_attention(q, k, v, heads, None, 64, True)
-
-    def pad(t):
-        return jnp.pad(t, ((0, 0), (0, 0), (0, c_pad - c)))
-
-    got = fa.frame_attention_packed(pad(q), pad(k), pad(v), heads, c,
-                                    None, 64)
-    np.testing.assert_allclose(np.asarray(got[..., :c]), np.asarray(want),
-                               atol=2e-5)
-    assert np.all(np.asarray(got)[..., c:] == 0)
-
-
 def test_frame_bfnc_matches_oracle(interpret_kernels):
     """(b, f, n, c)-native kernel vs the transpose-based XLA oracle,
     including the padded-token-rows path (n=97, the prior's token count)."""
