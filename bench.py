@@ -173,9 +173,17 @@ def main():
                          "+ prior + unet + VAE) instead of stage-2 only")
     ap.add_argument("--shard-story", action="store_true",
                     help="shard the single story over ALL devices "
-                         "(('cfg','space') inference mesh) — the v5e-8 "
-                         "latency config; frames/s/chip divides by the "
-                         "device count")
+                         "(('cfg','frame','space') inference mesh) — the "
+                         "v5e-8 latency config; frames/s/chip divides by "
+                         "the device count")
+    ap.add_argument("--train-step", action="store_true",
+                    help="measure the FULL-SCALE stage-2 train step "
+                         "(SD1.5 StoryUNet + fusion, fp32 params + Adam, "
+                         "bf16 compute) instead of sampling — BASELINE "
+                         "config #5's real-chip half")
+    ap.add_argument("--remat", action="store_true",
+                    help="(--train-step) gradient checkpointing on the "
+                         "UNet sub-blocks")
     args = ap.parse_args()
 
     from rcdms_tpu.ops.attention import set_default_attention_impl
@@ -183,6 +191,8 @@ def main():
 
     if args.full_pipeline:
         return main_full_pipeline(args)
+    if args.train_step:
+        return main_train_step(args)
 
     import os
 
@@ -256,6 +266,115 @@ def main():
         "encoder_propagation": args.encoder_propagation,
     }
     print(json.dumps(result))
+    return 0
+
+
+def main_train_step(args):
+    """Full-scale stage-2 train step on the real chip (VERDICT r2 #3 /
+    BASELINE config #5): SD1.5-scale StoryUNet + fusion, fp32 params +
+    Adam moments, bf16 compute, one device. Reports s/step, achieved
+    stories/s/chip against the reference's 8xGPU batch-1 fp16+ZeRO-2
+    envelope (`run_stage2_PororoSV.sh:4-21`), and HBM in use."""
+    import numpy as np
+
+    from rcdms_tpu.configs import (
+        FusionConfig,
+        OptimizerConfig,
+        StoryUNetConfig,
+        TemporalConfig,
+    )
+    from rcdms_tpu.models.fusion import FusionModule
+    from rcdms_tpu.models.unet3d import StoryUNet
+    from rcdms_tpu.train.optim import make_optimizer
+    from rcdms_tpu.train.stage2 import Stage2Batch, Stage2Trainer
+    from rcdms_tpu.train.train_state import TrainState
+
+    dtype = jnp.bfloat16
+    if args.tiny:
+        ucfg = StoryUNetConfig.tiny(remat=args.remat)
+        fcfg = FusionConfig.tiny(hidden_dim=ucfg.cross_attention_dim,
+                                 text_dim=ucfg.cross_attention_dim)
+        hw, n_vis, t = 8, 9, 7
+    else:
+        ucfg = StoryUNetConfig(remat=args.remat,
+                               temporal=TemporalConfig())
+        fcfg = FusionConfig()
+        hw, n_vis, t = args.image_size // 8, 257, 91
+
+    trainer = Stage2Trainer(StoryUNet(ucfg, dtype=dtype),
+                            FusionModule(fcfg, dtype=dtype))
+    b, f = args.batch, args.frames or 5
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 7)
+    batch = Stage2Batch(
+        latents=jax.random.normal(ks[0], (b, f, hw, hw, 4)),
+        masked_latents=jax.random.normal(ks[1], (b, f, hw, hw, 4)),
+        mask_label=jnp.ones((b, f, hw, hw, 1)),
+        image_tokens=jax.random.normal(ks[2], (b, f, n_vis,
+                                               fcfg.seen_vis_dim), dtype),
+        image_proj=jax.random.normal(ks[3], (b, f, fcfg.unseen_vis_dim),
+                                     dtype),
+        text_hidden=jax.random.normal(ks[4], (b, f, t, fcfg.text_dim),
+                                      dtype),
+        frame_known=jnp.zeros((b, f), bool).at[:, 0].set(True),
+    )
+    # fp32 training params (master weights; modules compute in bf16)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda k: trainer.init_params(k, batch), ks[5]))
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-5, warmup_steps=0,
+                                        grad_clip_norm=1.0))
+    state = TrainState.create(params, tx)
+    n_params = sum(int(np.prod(l.shape)) for l in
+                   jax.tree_util.tree_leaves(params))
+
+    step = jax.jit(trainer.train_step, donate_argnums=(0,))
+
+    def sync(x):
+        x.block_until_ready()
+        return float(np.asarray(x))
+
+    t0 = time.perf_counter()
+    state, loss = step(state, batch, ks[6])
+    sync(loss)
+    compile_and_first = time.perf_counter() - t0
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+        sync(loss)
+        times.append(time.perf_counter() - t0)
+    import statistics
+
+    p50 = statistics.median(times)
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if k in stats:
+                mem[k.replace("bytes", "gb")] = round(stats[k] / 2**30, 2)
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "stage2_train_step_p50_s",
+        "value": round(p50, 4),
+        "unit": "s/step",
+        # reference envelope: 8 GPUs x batch 1 -> this chip's stories/s vs
+        # one reference GPU's share is not published; vs_baseline reports
+        # stories/s/chip directly
+        "vs_baseline": round(b / p50, 4),
+        "stories_per_s_per_chip": round(b / p50, 4),
+        "batch": b,
+        "remat": args.remat,
+        "params_m": round(n_params / 1e6, 1),
+        "compile_plus_first_run_s": round(compile_and_first, 2),
+        "backend": jax.default_backend(),
+        "tiny": args.tiny,
+        **mem,
+    }))
     return 0
 
 

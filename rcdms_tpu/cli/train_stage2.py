@@ -15,7 +15,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 
 from rcdms_tpu.configs import (
     CLIPTextConfig,
@@ -31,7 +30,11 @@ from rcdms_tpu.cli import common
 from rcdms_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
 from rcdms_tpu.train.loop import make_sharded_train_step, place_state
 from rcdms_tpu.train.optim import make_optimizer
-from rcdms_tpu.train.sharding import make_mesh, shard_batch
+from rcdms_tpu.train.sharding import (
+    global_batch,
+    local_batch_size,
+    make_mesh,
+)
 from rcdms_tpu.train.stage2 import Stage2Trainer, encode_batch
 from rcdms_tpu.train.train_state import TrainState
 from rcdms_tpu.utils.logging import MetricLogger, StepTimer, setup_logging
@@ -164,17 +167,20 @@ def main(argv=None):
         state = state.replace(**restored)
         print(f"resumed from step {start_step}")
 
-    batches = dataset.batches(args.batch_size, seed=args.seed,
+    # each process decodes ONLY its batch_size/P rows; global arrays are
+    # assembled from the local shards (no P-times-redundant host decode)
+    batches = dataset.batches(local_batch_size(args.batch_size),
+                              seed=args.seed,
                               shard_id=jax.process_index(),
                               num_shards=jax.process_count())
     key = jax.random.PRNGKey(args.seed)
     timer = StepTimer()
     for step_i in range(start_step, args.max_train_steps):
-        raw = next(batches)
-        raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        raw = global_batch(mesh, next(batches))
         timer.data_loaded()
+        # frozen VAE/CLIP encoders run DP-sharded under GSPMD
         batch = encode(raw, jax.random.fold_in(key, 2 * step_i))
-        state, loss = step_fn(state, shard_batch(mesh, batch),
+        state, loss = step_fn(state, batch,
                               jax.random.fold_in(key, 2 * step_i + 1))
         if step_i % args.log_every == 0 or step_i == start_step:
             step_time, data_time = timer.step_done()

@@ -68,7 +68,7 @@ class StoryPipeline:
     def _all_devices(self, x: Array) -> Array:
         # leading axis over every mesh device (uneven sizes are padded by
         # GSPMD — 5 frames over 8 devices is fine)
-        return constrain(x, self.mesh, ("cfg", "space"))
+        return constrain(x, self.mesh, ("cfg", "frame", "space"))
 
     def _encode_text(self, encoder, params, tokens: Array):
         b, f, t = tokens.shape

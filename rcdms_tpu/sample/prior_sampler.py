@@ -85,7 +85,7 @@ class PriorSampler:
             lat = carry
             i, t, prev_t = step
             x = jnp.concatenate([lat] * 2) if do_cfg else lat
-            x = constrain(x, self.mesh, "cfg")
+            x = constrain(x, self.mesh, "cfg", "frame")
             tb = jnp.full(x.shape[:2], t, jnp.int32)
             pred = self.model.apply(
                 params, x, tb, text_embed, text_hidden, image_embed,

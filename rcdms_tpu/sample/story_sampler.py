@@ -88,16 +88,16 @@ class StorySampler:
         else:
             context = ctx_c
             masked_latents, mask_label = cond.masked_latents, cond.mask_label
-        context = constrain(context, self.mesh, "cfg")
+        context = constrain(context, self.mesh, "cfg", "frame")
         masked_latents = constrain(masked_latents, self.mesh,
-                                   "cfg", None, "space")
-        mask_label = constrain(mask_label, self.mesh, "cfg", None, "space")
+                                   "cfg", "frame", "space")
+        mask_label = constrain(mask_label, self.mesh, "cfg", "frame", "space")
 
         key, init_key = jax.random.split(key)
         if init_latents is None:
             init_latents = jax.random.normal(init_key, (b, f, h8, w8, 4))
         latents = init_latents * self.schedule.init_noise_sigma
-        latents = constrain(latents, self.mesh, None, None, "space")
+        latents = constrain(latents, self.mesh, None, "frame", "space")
 
         ts = jnp.asarray(self.schedule.timesteps(self.num_steps))
         prev_ts = jnp.asarray(self.schedule.prev_timesteps(self.num_steps))
@@ -163,11 +163,11 @@ class StorySampler:
             else:
                 x = jnp.concatenate([lat] * 2) if do_cfg else lat
                 x = jnp.concatenate([x, mask_label, masked_latents], axis=-1)
-                x = constrain(x, self.mesh, "cfg", None, "space")
+                x = constrain(x, self.mesh, "cfg", "frame", "space")
                 (cache,) = caches
                 pred, cache = call_unet(x, t, context, cache, is_key)
                 caches = (cache,)
-                pred = constrain(pred, self.mesh, "cfg", None, "space")
+                pred = constrain(pred, self.mesh, "cfg", "frame", "space")
                 if do_cfg:
                     pred_u, pred_c = jnp.split(pred, 2)
                     pred = cfg_combine(pred_u, pred_c, self.guidance_scale)
@@ -175,7 +175,7 @@ class StorySampler:
                      if self.eta > 0 else None)
             lat = self.schedule.step(pred, t, prev_t, lat, eta=self.eta,
                                      noise=noise)
-            lat = constrain(lat, self.mesh, None, None, "space")
+            lat = constrain(lat, self.mesh, None, "frame", "space")
             return (lat, caches), None
 
         if not use_prop:

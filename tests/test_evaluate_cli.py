@@ -33,6 +33,22 @@ def test_evaluate_autoreg_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_evaluate_batched_synthetic(tmp_path):
+    """--eval-batch 2 over 3 stories: one full chunk + one padded tail
+    chunk, all three stories get metrics + grids."""
+    out = str(tmp_path / "batched")
+    main(["--synthetic", "--mode", "continue", "--output-dir", out,
+          "--num-stories", "3", "--num-inference-steps", "2",
+          "--eval-batch", "2"])
+    lines, summary = _read_metrics(out)
+    assert [m["story"] for m in lines] == [0, 1, 2]
+    assert all({"ssim", "psnr", "clip_cosine"} <= set(m) for m in lines)
+    assert summary["num_stories"] == 3
+    for i in range(3):
+        assert os.path.exists(os.path.join(out, f"story_{i}.png"))
+
+
+@pytest.mark.slow
 def test_evaluate_full_synthetic(tmp_path):
     out = str(tmp_path / "full")
     main(["--synthetic", "--mode", "continue", "--output-dir", out,

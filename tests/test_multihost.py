@@ -77,8 +77,32 @@ def place(x):
 sbatch = jax.tree_util.tree_map(place, full)
 step = make_sharded_train_step(trainer.train_step, state, mesh, zero2=True)
 state, loss = step(state, sbatch, jax.random.PRNGKey(1))
+
+# --- REAL input path: per-process LOCAL batches -> global arrays ---------
+from rcdms_tpu.data.datasets import SyntheticStoryDataset
+from rcdms_tpu.train.sharding import global_batch, local_batch_size
+
+ds = SyntheticStoryDataset()
+lbs = local_batch_size(4)
+assert lbs == 2, lbs  # each process decodes HALF the global batch
+it = ds.batches(lbs, seed=0, shard_id=jax.process_index(),
+                num_shards=jax.process_count())
+raw = next(it)
+assert raw["target"].shape[0] == lbs, raw["target"].shape  # local decode
+g = global_batch(mesh, raw)
+tgt = g["target"]
+assert tgt.shape[0] == 4, tgt.shape  # assembled global batch
+# this process's addressable shards hold exactly its locally decoded rows
+shards = sorted(tgt.addressable_shards,
+                key=lambda s: s.index[0].start or 0)
+local_rows = np.concatenate([np.asarray(s.data) for s in shards])
+np.testing.assert_array_equal(local_rows, np.asarray(raw["target"]))
+local_fp = float(np.asarray(raw["target"]).sum())
+
 print(json.dumps({"pid": pid, "loss": float(loss),
-                  "n_dev": len(jax.devices())}), flush=True)
+                  "n_dev": len(jax.devices()),
+                  "local_rows": int(raw["target"].shape[0]),
+                  "local_fingerprint": local_fp}), flush=True)
 jax.distributed.shutdown()
 """
 
@@ -108,3 +132,7 @@ def test_two_process_distributed_train_step(tmp_path):
     import numpy as np
 
     assert np.isfinite(outs[0]["loss"])
+    # the real input path: each process decoded only its local half, and
+    # the two halves are different shard streams
+    assert outs[0]["local_rows"] == outs[1]["local_rows"] == 2
+    assert outs[0]["local_fingerprint"] != outs[1]["local_fingerprint"]

@@ -1,0 +1,265 @@
+"""Compiled-HLO communication audit of sharded single-story inference
+(VERDICT r2 next-step #1 — the quantitative case for the <=2 s p50 v5e-8
+story-latency target).
+
+Lowers + SPMD-compiles the FULL-SCALE (512 px, SD1.5-size, 20-step) stage-2
+sampler over an 8-device **CPU** mesh (no TPU needed — GSPMD partitioning
+is platform-independent), extracts every collective from the compiled HLO
+(all-gather / all-reduce / collective-permute / all-to-all /
+reduce-scatter), attributes in-loop ops to the DDIM step count, totals the
+per-chip ICI bytes, and models the v5e-8 story latency as
+
+    t = single_chip_p50 * pad_waste / n_devices            (compute)
+      + ici_bytes_per_chip / ICI_BW + n_coll * hop_latency (communication)
+
+for each candidate mesh split of the 8 devices:
+
+    space4   ('cfg' 2, 'frame' 1, 'space' 4)  latent rows sharded (round-2)
+    frame4   ('cfg' 2, 'frame' 4, 'space' 1)  frames sharded (pad 5 -> 8)
+    f2s2     ('cfg' 2, 'frame' 2, 'space' 2)  hybrid (pad 5 -> 6)
+
+Hardware assumptions (v5e, public specs; stated, not fetched):
+  * ICI: 4 links/chip, ~45 GB/s per direction per link on the 2x4 twisted
+    torus => ~90 GB/s usable per-chip for ring collectives on one axis
+    (conservative; marketing aggregate is 1600 Gbps/chip).
+  * per-collective launch+hop latency ~3 us.
+  * single-chip stage-2 p50 = 2.70 s (BASELINE.md round 2), of which the
+    UNet scan is ~2.62 s.
+
+Note: on CPU the attention path is the XLA one (the Pallas kernels are
+TPU-only), so attention collectives here reflect the einsum formulation;
+the packed Pallas kernels shard identically over the batch-like
+('cfg','frame') axes but would need explicit gathers for 'space'-sharded
+sequences — one more reason frame sharding is the TPU-native choice.
+
+Usage:
+  python tools/comm_audit.py [--variants space4,frame4,f2s2] [--steps 2]
+  (steps=2 keeps CPU compile time down; collectives per step are identical
+   to the 20-step program — the scan body compiles once.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+
+# ---- hardware model -------------------------------------------------------
+ICI_GBPS_PER_CHIP = 90e9      # usable one-axis ring bandwidth, bytes/s
+HOP_LATENCY_S = 3e-6          # per collective launch + hop
+SINGLE_CHIP_P50_S = 2.70      # measured round-2 stage-2 story (BASELINE.md)
+N_DEV = 8
+
+DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
+               "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8, "c64": 8}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_COLL_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.+?)\s+"
+    r"(all-gather|all-reduce|collective-permute|all-to-all|reduce-scatter)"
+    r"(?:-start)?\(", re.M)
+_GROUPS_RE = re.compile(r"replica_groups=\{\{([^}]*)\}")
+_PAIRS_RE = re.compile(r"source_target_pairs=\{([^}]*)\}")
+
+
+def shape_bytes(type_str: str) -> int:
+    """Total bytes of an HLO result type (handles tuples)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(type_str):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def parse_computations(hlo: str):
+    """Split HLO text into {computation_name: body_text}."""
+    comps = {}
+    name = None
+    buf = []
+    for line in hlo.splitlines():
+        m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*(?:\([^)]*\))?.*\{\s*$",
+                     line)
+        if m and not line.lstrip().startswith("//") and "=" not in \
+                line.split("{")[0]:
+            name = m.group(1)
+            buf = []
+            comps[name] = buf
+            continue
+        if name is not None:
+            if line.strip() == "}":
+                comps[name] = "\n".join(buf)
+                name = None
+            else:
+                buf.append(line)
+    return {k: v if isinstance(v, str) else "\n".join(v)
+            for k, v in comps.items()}
+
+
+def find_while_bodies(hlo: str):
+    """Names of computations used as while-loop bodies."""
+    return set(re.findall(r"while\([^)]*\)[^\n]*body=%?([\w.\-]+)", hlo))
+
+
+def collective_cost(kind: str, nbytes: int, group: int) -> float:
+    """ICI bytes RECEIVED per chip for one collective (ring algorithms)."""
+    g = max(group, 2)
+    if kind == "all-gather":
+        # nbytes is the gathered (output) size
+        return nbytes * (g - 1) / g
+    if kind == "reduce-scatter":
+        return nbytes * (g - 1) / g
+    if kind == "all-reduce":
+        return 2 * nbytes * (g - 1) / g
+    if kind == "collective-permute":
+        return nbytes
+    if kind == "all-to-all":
+        return nbytes * (g - 1) / g
+    return nbytes
+
+
+def audit_hlo(hlo: str, steps: int):
+    """Extract collectives; ops inside while bodies count `steps` times."""
+    comps = parse_computations(hlo)
+    bodies = find_while_bodies(hlo)
+    rows = []
+    for cname, body in comps.items():
+        mult = steps if cname in bodies else 1
+        for m in _COLL_RE.finditer(body):
+            _, type_str, kind = m.groups()
+            nbytes = shape_bytes(type_str)
+            # group size from replica_groups {{0,1,2},{...}} or permute pairs
+            line = body[m.start():body.find("\n", m.start())]
+            g = 2
+            gm = _GROUPS_RE.search(line)
+            if gm:
+                g = len([x for x in gm.group(1).split(",") if x.strip()])
+            elif _PAIRS_RE.search(line):
+                g = 2
+            rows.append({"kind": kind, "bytes": nbytes, "group": g,
+                         "mult": mult, "in_loop": cname in bodies})
+    return rows
+
+
+def summarize(rows, steps):
+    per_kind = {}
+    total_ici = 0.0
+    total_count = 0
+    for r in rows:
+        cost = collective_cost(r["kind"], r["bytes"], r["group"]) * r["mult"]
+        total_ici += cost
+        total_count += r["mult"]
+        k = r["kind"]
+        agg = per_kind.setdefault(k, {"count": 0, "ici_bytes": 0.0})
+        agg["count"] += r["mult"]
+        agg["ici_bytes"] += cost
+    return per_kind, total_ici, total_count
+
+
+def build_sampler(mesh, steps):
+    sys.path.insert(0, ".")
+    import bench
+
+    sampler, unet_p, fusion_p, cond, f, _ = bench.build(
+        tiny=False, params_dtype="bfloat16", mesh=mesh)
+    import dataclasses
+
+    sampler = dataclasses.replace(sampler, num_steps=steps)
+
+    def abstract(t):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+
+    return sampler, abstract(unet_p), abstract(fusion_p), abstract(cond)
+
+
+VARIANTS = {
+    "space4": dict(cfg=2, frame=1),
+    "frame4": dict(cfg=2, frame=4),
+    "f2s2": dict(cfg=2, frame=2),
+}
+
+
+def frame_pad_waste(frame_ax: int, f: int = 5) -> float:
+    """Compute inflation from GSPMD padding f frames over the frame axis."""
+    if frame_ax <= 1:
+        return 1.0
+    per = -(-f // frame_ax)  # ceil
+    return per * frame_ax / f
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="space4,frame4,f2s2")
+    ap.add_argument("--steps", type=int, default=2,
+                    help="scan length for the audited program (collectives "
+                         "per step are length-independent)")
+    ap.add_argument("--model-steps", type=int, default=20,
+                    help="DDIM steps the latency model scales to")
+    ap.add_argument("--dump-hlo", default=None,
+                    help="directory to write compiled HLO text per variant")
+    args = ap.parse_args()
+
+    from rcdms_tpu.train.sharding import inference_mesh
+
+    results = {}
+    for name in args.variants.split(","):
+        spec = VARIANTS[name]
+        mesh = inference_mesh(jax.devices(), frame=spec["frame"])
+        print(f"== {name}: mesh {dict(mesh.shape)} ==", flush=True)
+        sampler, unet_p, fusion_p, cond = build_sampler(mesh, args.steps)
+        lowered = jax.jit(sampler.__call__).lower(
+            unet_p, fusion_p, cond,
+            jax.ShapeDtypeStruct((2,), np.uint32))
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+        if args.dump_hlo:
+            import os
+
+            os.makedirs(args.dump_hlo, exist_ok=True)
+            with open(f"{args.dump_hlo}/{name}.hlo", "w") as fh:
+                fh.write(hlo)
+        rows = audit_hlo(hlo, args.steps)
+        # rescale in-loop ops from the audited scan length to model steps
+        for r in rows:
+            if r["in_loop"]:
+                r["mult"] = args.model_steps
+        per_kind, ici_bytes, n_coll = summarize(rows, args.model_steps)
+
+        waste = frame_pad_waste(spec["frame"])
+        compute_s = SINGLE_CHIP_P50_S * waste / N_DEV
+        comm_s = ici_bytes / ICI_GBPS_PER_CHIP + n_coll * HOP_LATENCY_S
+        model_s = compute_s + comm_s
+        res = {
+            "mesh": dict(mesh.shape),
+            "collectives": per_kind,
+            "n_collectives_total": n_coll,
+            "ici_bytes_per_chip": ici_bytes,
+            "pad_waste": waste,
+            "modeled_compute_s": round(compute_s, 3),
+            "modeled_comm_s": round(comm_s, 3),
+            "modeled_story_p50_s": round(model_s, 3),
+        }
+        results[name] = res
+        print(json.dumps(res, indent=2), flush=True)
+
+    best = min(results, key=lambda k: results[k]["modeled_story_p50_s"])
+    print(f"\nBEST: {best} "
+          f"({results[best]['modeled_story_p50_s']} s modeled)")
+    print(json.dumps({"audit": results, "best": best}))
+
+
+if __name__ == "__main__":
+    main()
