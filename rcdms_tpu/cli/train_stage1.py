@@ -74,6 +74,10 @@ def parse_args(argv=None):
     p.add_argument("--accumulate-steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--report-to", default="tensorboard",
+                   help="comma list of trackers: tensorboard, wandb, comet_ml\n"
+                        "(reference configs/stage1_config.py:132-141; JSONL is\n"
+                        "always written; missing packages are skipped)")
     return p.parse_args(argv)
 
 
@@ -83,7 +87,9 @@ def main(argv=None):
     from rcdms_tpu.train.distributed import maybe_initialize
 
     maybe_initialize()
-    log = MetricLogger(args.output_dir)
+    log = MetricLogger(args.output_dir,
+                       report_to=tuple(args.report_to.split(",")),
+                       run_config=vars(args))
 
     ds_cfg = common.dataset_from_args(args)
     if args.synthetic:

@@ -26,21 +26,58 @@ def setup_logging(level: int = logging.INFO) -> None:
 @dataclass
 class MetricLogger:
     """Appends JSONL scalars ({step, wall_time, **scalars}); optionally
-    mirrors to TensorBoard when tensorboardX/tf is importable."""
+    mirrors to TensorBoard / Weights & Biases / Comet (the reference's
+    `--report_to tensorboard|wandb|comet_ml` flag,
+    `configs/stage1_config.py:132-141`). Backends are best-effort: a
+    requested tracker whose package is not installed logs a warning and is
+    skipped (JSONL is always written).
+
+    `report_to`: iterable of {"tensorboard", "wandb", "comet_ml"}.
+    `run_config`: hyperparameters forwarded to the tracker run (the
+    reference's `init_trackers("text2image", config=vars(args))`,
+    `train_stage1.py:263-264`)."""
 
     log_dir: str
+    report_to: tuple = ("tensorboard",)
+    run_config: Optional[Dict] = None
+    project: str = "text2image"
     _file: object = field(default=None, repr=False)
     _tb: object = field(default=None, repr=False)
+    _wandb: object = field(default=None, repr=False)
+    _comet: object = field(default=None, repr=False)
 
     def __post_init__(self):
         os.makedirs(self.log_dir, exist_ok=True)
         self._file = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
-        try:  # optional TB export
-            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+        if "tensorboard" in self.report_to:
+            try:
+                from torch.utils.tensorboard import (  # type: ignore
+                    SummaryWriter,
+                )
 
-            self._tb = SummaryWriter(self.log_dir)
-        except Exception:
-            self._tb = None
+                self._tb = SummaryWriter(self.log_dir)
+            except Exception:
+                self._tb = None
+        if "wandb" in self.report_to:
+            try:
+                import wandb  # type: ignore
+
+                self._wandb = wandb.init(project=self.project,
+                                         dir=self.log_dir,
+                                         config=self.run_config or {})
+            except Exception as e:  # package missing / no credentials
+                logger.warning("wandb requested but unavailable: %s", e)
+                self._wandb = None
+        if "comet_ml" in self.report_to:
+            try:
+                import comet_ml  # type: ignore
+
+                self._comet = comet_ml.Experiment(project_name=self.project)
+                if self.run_config:
+                    self._comet.log_parameters(self.run_config)
+            except Exception as e:
+                logger.warning("comet_ml requested but unavailable: %s", e)
+                self._comet = None
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
         rec = {"step": step, "wall_time": time.time(),
@@ -50,11 +87,21 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in scalars.items()},
+                            step=step)
+        if self._comet is not None:
+            self._comet.log_metrics(
+                {k: float(v) for k, v in scalars.items()}, step=step)
 
     def close(self):
         self._file.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+        if self._comet is not None:
+            self._comet.end()
 
 
 class StepTimer:

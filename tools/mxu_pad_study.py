@@ -75,8 +75,11 @@ def bench_matmul(name, m, k, n, b, dtype=jnp.bfloat16, results=None):
     def step(t):
         y = jax.lax.dot_general(t, w, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        # fold a scalar of y back into x: keeps the chain data-dependent
-        s = (y[0, 0, 0] * 1e-20 + 1.0).astype(dtype)
+        # consume EVERY element of y (a slice would let XLA's
+        # slice-of-dot simplification DCE the matmul — measured!); the
+        # sum fuses into the dot epilogue, matching the flash kernel's
+        # output-stays-in-VMEM context
+        s = (jnp.sum(y) * 1e-20 + 1.0).astype(dtype)
         return t * s
 
     sec = slope_time(step, x)
