@@ -203,9 +203,11 @@ def main():
     mesh = None
     n_chips = 1
     if args.shard_story:
+        from rcdms_tpu.ops.attention import configure_for_mesh
         from rcdms_tpu.train.sharding import inference_mesh
 
         mesh = inference_mesh(jax.devices())
+        configure_for_mesh(mesh)  # GSPMD-partitionable attention path
         n_chips = len(jax.devices())
 
     sampler, unet_p, fusion_p, cond, frames, steps = build(

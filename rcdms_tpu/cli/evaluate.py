@@ -182,9 +182,11 @@ def build_pipeline(args):
 
     mesh = None
     if getattr(args, "shard_story", False):
+        from rcdms_tpu.ops.attention import configure_for_mesh
         from rcdms_tpu.train.sharding import inference_mesh
 
         mesh = inference_mesh(jax.devices())
+        configure_for_mesh(mesh)  # GSPMD-partitionable attention path
     pipeline = StoryPipeline(
         text_encoder_s1=text1, text_encoder_s2=text2, vision_encoder=vision,
         vae=vae,

@@ -42,8 +42,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
@@ -85,27 +88,38 @@ def shape_bytes(type_str: str) -> int:
 
 
 def parse_computations(hlo: str):
-    """Split HLO text into {computation_name: body_text}."""
+    """Split HLO text into {computation_name: body_text}.
+
+    Brace-depth tracking: computation signatures may wrap over several
+    lines (long tuple types), so the name is remembered from the last
+    column-0 `%name (`-style line and bound when the opening brace takes
+    depth 0 -> 1. Braces inside a single instruction line (replica_groups,
+    backend_config JSON) are balanced per line."""
     comps = {}
-    name = None
+    cur = None
     buf = []
+    depth = 0
+    pending = None
     for line in hlo.splitlines():
-        m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*(?:\([^)]*\))?.*\{\s*$",
-                     line)
-        if m and not line.lstrip().startswith("//") and "=" not in \
-                line.split("{")[0]:
-            name = m.group(1)
-            buf = []
-            comps[name] = buf
+        if depth == 0:
+            m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line)
+            if m:
+                pending = m.group(1)
+        delta = line.count("{") - line.count("}")
+        if depth == 0:
+            if delta > 0 and pending is not None:
+                cur = pending
+                buf = []
+                depth = delta
             continue
-        if name is not None:
-            if line.strip() == "}":
-                comps[name] = "\n".join(buf)
-                name = None
-            else:
-                buf.append(line)
-    return {k: v if isinstance(v, str) else "\n".join(v)
-            for k, v in comps.items()}
+        depth += delta
+        if depth <= 0:
+            comps[cur] = "\n".join(buf)
+            cur = None
+            depth = 0
+        else:
+            buf.append(line)
+    return comps
 
 
 def find_while_bodies(hlo: str):
@@ -168,12 +182,12 @@ def summarize(rows, steps):
     return per_kind, total_ici, total_count
 
 
-def build_sampler(mesh, steps):
+def build_sampler(mesh, steps, tiny=False):
     sys.path.insert(0, ".")
     import bench
 
     sampler, unet_p, fusion_p, cond, f, _ = bench.build(
-        tiny=False, params_dtype="bfloat16", mesh=mesh)
+        tiny=tiny, params_dtype="bfloat16", mesh=mesh)
     import dataclasses
 
     sampler = dataclasses.replace(sampler, num_steps=steps)
@@ -210,6 +224,9 @@ def main():
                     help="DDIM steps the latency model scales to")
     ap.add_argument("--dump-hlo", default=None,
                     help="directory to write compiled HLO text per variant")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model (validates the parsing machinery; "
+                         "collective BYTES are not representative)")
     args = ap.parse_args()
 
     from rcdms_tpu.train.sharding import inference_mesh
@@ -219,7 +236,8 @@ def main():
         spec = VARIANTS[name]
         mesh = inference_mesh(jax.devices(), frame=spec["frame"])
         print(f"== {name}: mesh {dict(mesh.shape)} ==", flush=True)
-        sampler, unet_p, fusion_p, cond = build_sampler(mesh, args.steps)
+        sampler, unet_p, fusion_p, cond = build_sampler(mesh, args.steps,
+                                                        tiny=args.tiny)
         lowered = jax.jit(sampler.__call__).lower(
             unet_p, fusion_p, cond,
             jax.ShapeDtypeStruct((2,), np.uint32))
