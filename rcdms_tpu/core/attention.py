@@ -12,6 +12,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rcdms_tpu.core.layers import (
+    DenseNT,
+    DenseTN,
     FeedForward,
     GroupNorm,
     LayerNorm,
@@ -26,6 +28,12 @@ Array = jax.Array
 
 LANE = 128
 
+# The round-2 "packed" long-sequence kernel (head-interleave 128-lane
+# pads) was deleted in round 3: the channel-major "nt" formulation beat it
+# 2.556 s vs 2.702 s stage-2 p50 on-chip (BASELINE.md round 3) and the
+# contraction-granularity study showed its 128-lane pad burned ~2.9x the
+# necessary MXU time on the score matmul. One formulation per use case.
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -38,20 +46,19 @@ def _use_frame_kernel() -> bool:
     return impl == "pallas" or jax.default_backend() == "tpu"
 
 
-def _use_packed_flash(seq_q: int, seq_k: int, head_dim: int) -> bool:
-    """Long-sequence attention goes to the packed Pallas kernel when the
-    shapes divide cleanly (no runtime q-row pads). The projections then emit
-    head-interleave-padded lanes via PaddedDense — no HBM pad/transpose ops
-    in the sampling loop (round-1 profile: ~10% of step time). Short
-    contexts (cross attention, 91 caption tokens) are row-padded to a lane
-    multiple before the k/v projections — loop-invariant, so the pad hoists
-    out of the sampling scan — and masked inside the kernel via kv_len."""
+def _use_nt_flash(seq_q: int, seq_k: int, heads: int, head_dim: int) -> bool:
+    """Long-sequence attention goes to the channel-major Pallas kernel
+    when the shapes divide cleanly (no runtime q-row pads; head_dim on the
+    8-row sublane granularity). Short contexts (cross attention, 91
+    caption tokens) are row-padded to a lane multiple before the k/v
+    projections — loop-invariant, so the pad hoists out of the sampling
+    scan — and masked inside the kernel via kv_len."""
     if not _use_frame_kernel():
         return False
-    from rcdms_tpu.ops.flash import packed_ok
+    from rcdms_tpu.ops.flash import nt_ok
 
     return (seq_q >= 256 and head_dim <= 256
-            and packed_ok(seq_q, _round_up(seq_k, LANE)))
+            and nt_ok(seq_q, _round_up(seq_k, LANE), heads, head_dim))
 
 
 class Attention(nn.Module):
@@ -115,34 +122,32 @@ class Attention(nn.Module):
             o = jnp.swapaxes(o, 1, 2)  # back to (b, f, n, inner)
             return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(o)
 
-        # long-sequence (spatial self/cross) attention: packed Pallas flash
-        # kernel reading the projections' head-interleave-padded layout
-        if mask is None and _use_packed_flash(x.shape[-2], ctx.shape[-2],
-                                              self.head_dim):
+        # long-sequence (spatial self/cross) attention, channel-major
+        # Pallas kernel: DenseNT projections emit (..., C, tokens) with
+        # head_dim on SUBLANES (no 128-lane pad), the kernel contracts the
+        # real dh (~2.9x cheaper score matmul at dh=40 — BASELINE.md round
+        # 3), and DenseTN consumes the transposed output. No transpose or
+        # pad op anywhere in the chain.
+        if mask is None and _use_nt_flash(x.shape[-2], ctx.shape[-2],
+                                          self.heads, self.head_dim):
             from rcdms_tpu.ops.flash import (
                 DEFAULT_Q_BLOCK,
-                flash_attention_packed,
+                flash_attention_nt,
             )
 
-            group = _round_up(self.head_dim, LANE)
-            spec = ("interleave", self.heads, self.head_dim, group)
             skv = ctx.shape[-2]
             skv_pad = _round_up(skv, LANE)
             if skv_pad != skv:
                 pad = ([(0, 0)] * (ctx.ndim - 2)
                        + [(0, skv_pad - skv), (0, 0)])
                 ctx = jnp.pad(ctx, pad)
-            q = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
-                            name="to_q")(x)
-            k = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
-                            name="to_k")(ctx)
-            v = PaddedDense(inner, self.qkv_bias, self.dtype, out_pad=spec,
-                            name="to_v")(ctx)
-            o = flash_attention_packed(q, k, v, self.heads,
-                                       self.head_dim ** -0.5, group,
-                                       DEFAULT_Q_BLOCK, skv)
-            return PaddedDense(out_dim, True, self.dtype, in_pad=spec,
-                               name="to_out")(o)
+            qt = DenseNT(inner, self.qkv_bias, self.dtype, name="to_q")(x)
+            kt = DenseNT(inner, self.qkv_bias, self.dtype, name="to_k")(ctx)
+            vt = DenseNT(inner, self.qkv_bias, self.dtype, name="to_v")(ctx)
+            ot = flash_attention_nt(qt, kt, vt, self.heads,
+                                    self.head_dim ** -0.5, DEFAULT_Q_BLOCK,
+                                    skv)
+            return DenseTN(out_dim, True, self.dtype, name="to_out")(ot)
 
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="to_q")(x)

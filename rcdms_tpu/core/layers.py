@@ -165,31 +165,21 @@ class FeedForward(nn.Module):
 
 def _pad_axis(t, axis: int, spec) -> jnp.ndarray:
     """Zero-expand one axis of a kernel/bias per a pad spec:
-    ("tail", real, padded) appends zeros; ("interleave", heads, dh, group)
-    pads each head's dh block to `group`."""
+    ("tail", real, padded) appends zeros. (The round-2 "interleave" spec
+    died with the packed flash kernel — the nt kernel's channel-major
+    layout needs no lane pads at all.)"""
     kind = spec[0]
-    if kind == "tail":
-        _, real, padded = spec
-        pad = [(0, 0)] * t.ndim
-        pad[axis] = (0, padded - real)
-        return jnp.pad(t, pad)
-    heads, dh, group = spec[1:]
-    shape = list(t.shape)
-    shape[axis:axis + 1] = [heads, dh]
-    t = t.reshape(shape)
+    assert kind == "tail", spec
+    _, real, padded = spec
     pad = [(0, 0)] * t.ndim
-    pad[axis + 1] = (0, group - dh)
-    t = jnp.pad(t, pad)
-    shape[axis:axis + 2] = [heads * group]
-    return t.reshape(shape)
+    pad[axis] = (0, padded - real)
+    return jnp.pad(t, pad)
 
 
 def pad_spec_width(spec) -> int:
     """Padded width produced/consumed by a pad spec."""
-    if spec[0] == "tail":
-        return spec[2]
-    heads, _, group = spec[1:]
-    return heads * group
+    assert spec[0] == "tail", spec
+    return spec[2]
 
 
 class PaddedDense(nn.Module):
@@ -237,6 +227,67 @@ class PaddedDense(nn.Module):
             x.astype(self.dtype), kernel.astype(self.dtype),
             (((x.ndim - 1,), (0,)), ((), ())))
         if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class DenseNT(nn.Module):
+    """Dense that emits the TRANSPOSED output layout (..., features, tokens)
+    from a standard (..., tokens, c_in) input — same matmul cost (the
+    output ordering is just dot_general dimension ordering, no transpose
+    op), standard nn.Dense param tree {kernel (c_in, features), bias}.
+
+    The channel-major layout puts head_dim on SUBLANES, which is what lets
+    the small-head flash kernel contract dh without padding it to 128
+    lanes (tools/mxu_pad_study.py: matmul time scales with the REAL
+    contraction size at ~8-row granularity — a dh=40 contraction is ~2.9x
+    cheaper than the 128-lane-padded one)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        nb = x.ndim - 2  # leading batch dims
+        # (features, tokens) = kernel^T-contraction with x's channel dim
+        y = jax.lax.dot_general(
+            kernel.astype(self.dtype), x.astype(self.dtype),
+            (((0,), (x.ndim - 1,)), ((), ())))
+        # y: (features, *batch, tokens) -> (*batch, features, tokens)
+        if nb:
+            y = jnp.moveaxis(y, 0, nb)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)[:, None]
+        return y
+
+
+class DenseTN(nn.Module):
+    """Dense that CONSUMES a transposed input layout (..., c_in, tokens)
+    and emits the standard (..., tokens, features) — contraction over the
+    channel (sublane) axis, no transpose op, standard param tree."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xt: Array) -> Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (xt.shape[-2], self.features), jnp.float32)
+        nb = xt.ndim - 2
+        # contract c_in (dim -2 of xt) with kernel rows
+        y = jax.lax.dot_general(
+            xt.astype(self.dtype), kernel.astype(self.dtype),
+            (((xt.ndim - 2,), (0,)), ((), ())))
+        # y: (*batch, tokens, features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
 

@@ -1,4 +1,4 @@
-"""Pallas TPU fused-attention kernel (SURVEY.md §7 step 8).
+"""Pallas TPU fused-attention kernels (SURVEY.md §7 step 8).
 
 One grid cell = one (batch*head, q-block): the q block, the FULL K/V for
 that head, and the fp32 score tile all live in VMEM, so the softmax never
@@ -7,12 +7,21 @@ K/V per head is <= ~2 MB, far under the ~16 MB VMEM budget; no online-
 softmax streaming needed). Inputs may be bf16; scores and the
 softmax run in fp32 on the MXU/VPU.
 
-Non-128-aligned head dims (SD1.5 uses 40/80/160) are zero-padded — padding
-K/V feature columns does not change q.k^T, and padded V columns are sliced
-off the output. Padded KV *rows* are masked with -inf before the softmax.
+Two entry points:
+
+  * flash_attention_nt — the hot path. Channel-major (..., C, S) operands
+    with head_dim on SUBLANES, produced natively by DenseNT projections
+    (core/layers.py): the score matmul contracts the REAL dh (no 128-lane
+    pad; matmul time scales with the true contraction size at ~8-row
+    granularity — BASELINE.md round-3 study, ~2.9x cheaper at SD1.5
+    level-0's dh=40) and softmax normalization is deferred until after the
+    PV matmul. Replaced the round-2 "packed" head-interleave kernel
+    (measured 2.556 s vs 2.702 s stage-2 story p50 on a v5e chip).
+  * flash_attention — token-major fallback with runtime pads for shapes
+    the nt kernel rejects (used via ops/attention.dot_product_attention).
 
 The XLA path in rcdms_tpu.ops.attention is the correctness oracle; tests
-run this kernel in interpret mode on CPU against it."""
+run these kernels in interpret mode on CPU against it."""
 
 from __future__ import annotations
 
@@ -115,129 +124,152 @@ def _fit_q_block(q_block: int, skv_pad: int, d_pad: int,
 
 
 # ---------------------------------------------------------------------------
-# Packed layout: q/k/v arrive (B, S, heads * LANE) with each head's real
-# head_dim zero-padded to a full 128-lane group BY THE PRODUCING PROJECTION
-# (core/layers.py::PaddedDense with an interleaved pad). No transpose to
-# head-major and no HBM pad op ever runs: the kernel lane-slices one head's
-# 128-lane group straight out of the projection's output layout.
+# Channel-major ("nt") layout: q/k/v arrive (..., C, S) with C = heads*dh
+# UNPADDED (dh on sublanes; 40/80/160 are all multiples of the 8-row
+# sublane granularity). The score matmul contracts the SUBLANE dims, so a
+# dh=40 head costs dh/128 of the padded formulation's MXU time
+# (tools/mxu_pad_study.py: matmul time scales with REAL contraction size —
+# k=40 runs at 172 TF/s real-FLOP rate vs 128-padded at 1/2.9 of that).
+# The producing projections emit this layout natively via dot_general
+# dimension ordering (core/layers.py::DenseNT — no transpose op anywhere),
+# and the out-projection consumes it the same way (DenseTN).
 # ---------------------------------------------------------------------------
 
 
-def packed_ok(sq: int, skv: int, q_block: int = DEFAULT_Q_BLOCK) -> bool:
-    """Shapes the packed kernel handles without runtime row pads."""
-    return sq % min(q_block, _round_up(sq, 128)) == 0 and skv % LANE == 0
+def _nt_kernel(qt_ref, kt_ref, vt_ref, o_ref, *, scale: float, kv_len: int):
+    qt = qt_ref[0]           # (dh, blk_q)
+    kt = kt_ref[0]           # (dh, skv)
+    vt = vt_ref[0]           # (dh, skv)
+    s = jax.lax.dot_general(qt, kt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale            # (blk_q, skv)
+    if kv_len != kt.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < kv_len, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m).astype(vt.dtype)   # unnormalized
+    # o^T (dh, blk_q): contract the LANE (skv) dims
+    ot = jax.lax.dot_general(vt, p, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # normalize AFTER the PV matmul: the row sums land transposed (1, blk)
+    # via a skinny ones-matmul, and the division touches (dh, blk) instead
+    # of the (blk, skv) probability tile — one fewer big VPU pass
+    ones = jnp.ones((1, p.shape[1]), p.dtype)
+    l_t = jax.lax.dot_general(ones, p, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (1, blk)
+    o_ref[0] = (ot * (1.0 / l_t)).astype(o_ref.dtype)
 
 
-def _packed_xla_reference(q: Array, k: Array, v: Array, heads: int,
-                          scale: float, group: int) -> Array:
-    """Oracle on the packed layout: zero pad lanes add nothing to q.k^T and
-    produce zero output lanes, so attention over dh_pad == real attention."""
-    *lead, s, hd = q.shape
-    q4 = q.reshape(tuple(lead) + (s, heads, group))
-    k4 = k.reshape(tuple(lead) + (k.shape[-2], heads, group))
-    v4 = v.reshape(tuple(lead) + (v.shape[-2], heads, group))
-    logits = jnp.einsum("...qhd,...khd->...hqk", q4, k4,
+def nt_ok(sq: int, skv: int, heads: int, dh: int) -> bool:
+    """Shapes the channel-major kernel handles: token counts lane-aligned
+    at some block size, head_dim sublane-aligned."""
+    return (dh % 8 == 0 and skv % LANE == 0
+            and sq % min(_round_up(sq, LANE), DEFAULT_Q_BLOCK) == 0)
+
+
+def _nt_xla_reference(qt: Array, kt: Array, vt: Array, heads: int,
+                      scale: float, kv_len: int | None = None) -> Array:
+    """Oracle on the channel-major layout (differentiable)."""
+    *lead, c, sq = qt.shape
+    dh = c // heads
+    skv = kt.shape[-1]
+    real = kv_len if kv_len is not None else skv
+
+    def split(t):  # (..., c, s) -> (..., h, s, dh)
+        t = t.reshape(tuple(lead) + (heads, dh, t.shape[-1]))
+        return jnp.swapaxes(t, -1, -2)
+
+    q, k, v = split(qt), split(kt), split(vt)
+    if real != skv:
+        k = k[..., :real, :]
+        v = v[..., :real, :]
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    o = jnp.einsum("...hqk,...khd->...qhd", probs, v4)
-    return o.reshape(q.shape)
+    probs = jax.nn.softmax(logits, axis=-1).astype(qt.dtype)
+    o = jnp.einsum("...qk,...kd->...qd", probs, v)  # (..., h, sq, dh)
+    o = jnp.swapaxes(o, -1, -2).reshape(tuple(lead) + (c, sq))
+    return o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def flash_attention_packed(q: Array, k: Array, v: Array, heads: int,
-                           scale: float, group: int = LANE,
-                           q_block: int = DEFAULT_Q_BLOCK,
-                           kv_len: int | None = None) -> Array:
-    """Fused attention on head-interleave-padded inputs.
-
-    q: (..., Sq, heads*group); k/v: (..., Skv, heads*group); lanes
-    [h*group + head_dim, (h+1)*group) must be zero (the padded-projection
-    contract; group is a multiple of 128). `kv_len`: real KV rows when the
-    caller padded the context sequence to a 128 multiple (cross attention;
-    padded rows are masked before the softmax). Returns
-    (..., Sq, heads*group) with the same zero-lane structure. Requires
-    packed_ok(Sq, Skv)."""
-    return _flash_packed_forward(q, k, v, heads, scale, group, q_block,
-                                 kv_len)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_nt(qt: Array, kt: Array, vt: Array, heads: int,
+                       scale: float, q_block: int = DEFAULT_Q_BLOCK,
+                       kv_len: int | None = None) -> Array:
+    """Fused attention on channel-major (..., C, S) inputs, C = heads*dh
+    unpadded. `kv_len`: real KV tokens when the caller lane-padded the
+    context sequence (cross attention). Returns (..., C, Sq) in qt.dtype.
+    Differentiable (XLA-recompute backward)."""
+    return _flash_nt_forward(qt, kt, vt, heads, scale, q_block, kv_len)
 
 
-def _flash_packed_fwd(q, k, v, heads, scale, group, q_block, kv_len):
-    return (_flash_packed_forward(q, k, v, heads, scale, group, q_block,
-                                  kv_len),
-            (q, k, v))
+def _flash_nt_fwd(qt, kt, vt, heads, scale, q_block, kv_len):
+    return (_flash_nt_forward(qt, kt, vt, heads, scale, q_block, kv_len),
+            (qt, kt, vt))
 
 
-def _flash_packed_bwd(heads, scale, group, q_block, kv_len, residuals, g):
-    q, k, v = residuals
-    real = kv_len if kv_len is not None else k.shape[-2]
+def _flash_nt_bwd(heads, scale, q_block, kv_len, residuals, g):
+    qt, kt, vt = residuals
+    skv = kt.shape[-1]
+    real = kv_len if kv_len is not None else skv
 
     def ref(a, b, c):
-        if real != b.shape[-2]:
-            b = b[..., :real, :]
-            c = c[..., :real, :]
-            o = _packed_xla_reference(a, b, c, heads, scale, group)
-            return o
-        return _packed_xla_reference(a, b, c, heads, scale, group)
+        return _nt_xla_reference(a, b, c, heads, scale, real)
 
-    if real != k.shape[-2]:
-        _, vjp = jax.vjp(ref, q, k[..., :real, :], v[..., :real, :])
-        dq, dk, dv = vjp(g)
-        pad = [(0, 0)] * (k.ndim - 2) + [(0, k.shape[-2] - real), (0, 0)]
-        return dq, jnp.pad(dk, pad), jnp.pad(dv, pad)
-    _, vjp = jax.vjp(ref, q, k, v)
+    _, vjp = jax.vjp(ref, qt, kt, vt)
     return vjp(g)
 
 
-flash_attention_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+flash_attention_nt.defvjp(_flash_nt_fwd, _flash_nt_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "group",
-                                             "q_block", "kv_len"))
-def _flash_packed_forward(q: Array, k: Array, v: Array, heads: int,
-                          scale: float, group: int = LANE,
-                          q_block: int = DEFAULT_Q_BLOCK,
-                          kv_len: int | None = None) -> Array:
-    orig_shape = q.shape
-    *lead, sq, hd = q.shape
-    assert hd == heads * group and group % LANE == 0, (hd, heads, group)
-    skv = k.shape[-2]
-    assert packed_ok(sq, skv, q_block), (sq, skv)
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "q_block",
+                                             "kv_len"))
+def _flash_nt_forward(qt: Array, kt: Array, vt: Array, heads: int,
+                      scale: float, q_block: int = DEFAULT_Q_BLOCK,
+                      kv_len: int | None = None) -> Array:
+    orig_shape = qt.shape
+    *lead, c, sq = qt.shape
+    skv = kt.shape[-1]
+    assert c % heads == 0, (c, heads)
+    dh = c // heads
+    assert nt_ok(sq, skv, heads, dh), (sq, skv, heads, dh)
     if kv_len is None:
         kv_len = skv
     B = math.prod(lead) if lead else 1
 
-    q_block = min(q_block, sq)
-    q_block = _fit_q_block(q_block, skv, group, q.dtype.itemsize)
+    q_block = min(q_block, _round_up(sq, LANE))
+    # fp32 score tile (q_block, skv) + operands under ~12 MB
+    while q_block > LANE and q_block * skv * 4 > 12 * 1024 * 1024:
+        q_block //= 2
 
-    q3 = q.reshape(B, sq, hd)
-    k3 = k.reshape(B, skv, hd)
-    v3 = v.reshape(B, skv, hd)
+    qt3 = qt.reshape(B, c, sq)
+    kt3 = kt.reshape(B, c, skv)
+    vt3 = vt.reshape(B, c, skv)
 
     grid = (B, heads, sq // q_block)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_len=kv_len),
+        functools.partial(_nt_kernel, scale=scale, kv_len=kv_len),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_block, group), lambda b, h, i: (b, i, h),
+            pl.BlockSpec((1, dh, q_block), lambda b, h, i: (b, h, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, group), lambda b, h, i: (b, 0, h),
+            pl.BlockSpec((1, dh, skv), lambda b, h, i: (b, h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, group), lambda b, h, i: (b, 0, h),
+            pl.BlockSpec((1, dh, skv), lambda b, h, i: (b, h, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, q_block, group),
-                               lambda b, h, i: (b, i, h),
+        out_specs=pl.BlockSpec((1, dh, q_block), lambda b, h, i: (b, h, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, sq, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, c, sq), qt.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * heads * sq * skv * group,
-            bytes_accessed=(B * (sq + 2 * skv) * hd * q.dtype.itemsize),
+            flops=4 * B * sq * skv * c,
+            bytes_accessed=(B * (2 * sq + 2 * skv) * c * qt.dtype.itemsize),
             transcendentals=B * heads * sq * skv,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(q3, k3, v3)
+    )(qt3, kt3, vt3)
     return out.reshape(orig_shape)
 
 

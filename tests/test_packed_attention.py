@@ -25,59 +25,102 @@ def interpret_kernels():
     flash.set_kernel_interpret(False)
 
 
-def _interleave_pad(t, heads, dh, group):
-    *lead, s, hd = t.shape
-    t = t.reshape(tuple(lead) + (s, heads, dh))
-    t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, group - dh)])
-    return t.reshape(tuple(lead) + (s, heads * group))
+def test_flash_nt_matches_oracle(interpret_kernels):
+    """Channel-major kernel vs the nt oracle at several (heads, dh),
+    including kv-padded cross attention."""
+    key = jax.random.PRNGKey(40)
+    for heads, dh, sq, skv in [(3, 40, 256, 256), (2, 80, 256, 128),
+                               (2, 16, 512, 256)]:
+        c = heads * dh
+        kq, kk, kv = jax.random.split(jax.random.fold_in(key, dh), 3)
+        qt = jax.random.normal(kq, (2, c, sq))
+        kt = jax.random.normal(kk, (2, c, skv))
+        vt = jax.random.normal(kv, (2, c, skv))
+        got = flash.flash_attention_nt(qt, kt, vt, heads, dh ** -0.5,
+                                       128)
+        want = flash._nt_xla_reference(qt, kt, vt, heads, dh ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
 
 
-def test_flash_packed_matches_oracle(interpret_kernels):
-    key = jax.random.PRNGKey(0)
-    heads, dh, group = 3, 40, 128
+def test_flash_nt_kv_len_mask(interpret_kernels):
+    """Lane-padded context rows are masked out via kv_len."""
+    heads, dh, sq, skv_real = 2, 40, 256, 91
+    c = heads * dh
+    key = jax.random.PRNGKey(41)
     kq, kk, kv = jax.random.split(key, 3)
-    q = jax.random.normal(kq, (2, 256, heads * dh))
-    k = jax.random.normal(kk, (2, 256, heads * dh))
-    v = jax.random.normal(kv, (2, 256, heads * dh))
-    scale = dh ** -0.5
-
-    qp = _interleave_pad(q, heads, dh, group)
-    kp = _interleave_pad(k, heads, dh, group)
-    vp = _interleave_pad(v, heads, dh, group)
-    got = flash._flash_packed_forward(qp, kp, vp, heads, scale, group,
-                                      q_block=128)
-    want = flash._packed_xla_reference(qp, kp, vp, heads, scale, group)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
-    # pad lanes stay zero
-    got4 = np.asarray(got).reshape(2, 256, heads, group)
-    assert np.all(got4[..., dh:] == 0)
+    qt = jax.random.normal(kq, (1, c, sq))
+    kt_r = jax.random.normal(kk, (1, c, skv_real))
+    vt_r = jax.random.normal(kv, (1, c, skv_real))
+    pad = 128 - skv_real
+    kt = jnp.pad(kt_r, ((0, 0), (0, 0), (0, pad)))
+    vt = jnp.pad(vt_r, ((0, 0), (0, 0), (0, pad)))
+    got = flash.flash_attention_nt(qt, kt, vt, heads, dh ** -0.5, 128,
+                                   skv_real)
+    want = flash._nt_xla_reference(qt, kt_r, vt_r, heads, dh ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
 
 
-def test_flash_packed_group_256(interpret_kernels):
-    """head_dim 160 (SD1.5 level 2/3) packs into a 256-lane group."""
-    key = jax.random.PRNGKey(1)
-    heads, dh, group = 2, 160, 256
-    q = jax.random.normal(key, (1, 256, heads * dh))
-    qp = _interleave_pad(q, heads, dh, group)
-    got = flash.flash_attention_packed(qp, qp, qp, heads, dh ** -0.5, group)
-    want = flash._packed_xla_reference(qp, qp, qp, heads, dh ** -0.5, group)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
-
-
-def test_flash_packed_grad_flows(interpret_kernels):
-    heads, dh, group = 2, 40, 128
-    q = jax.random.normal(jax.random.PRNGKey(2), (1, 256, heads * dh))
-    qp = _interleave_pad(q, heads, dh, group)
+def test_flash_nt_grad_flows(interpret_kernels):
+    heads, dh = 2, 16
+    c = heads * dh
+    qt = jax.random.normal(jax.random.PRNGKey(42), (1, c, 256))
 
     def loss(t):
-        return jnp.sum(flash.flash_attention_packed(
-            t, t, t, heads, dh ** -0.5, group) ** 2)
+        return jnp.sum(flash.flash_attention_nt(t, t, t, heads,
+                                                dh ** -0.5, 128) ** 2)
 
-    g_kernel = jax.grad(loss)(qp)
-    g_ref = jax.grad(lambda t: jnp.sum(flash._packed_xla_reference(
-        t, t, t, heads, dh ** -0.5, group) ** 2))(qp)
-    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
-                               atol=2e-4)
+    g = jax.grad(loss)(qt)
+    g_ref = jax.grad(lambda t: jnp.sum(flash._nt_xla_reference(
+        t, t, t, heads, dh ** -0.5) ** 2))(qt)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
+def test_dense_nt_tn_match_dense():
+    """DenseNT emits the transposed Dense output; DenseTN consumes it —
+    identical param trees to nn.Dense and exact round-trip math."""
+    from flax import linen as nn
+
+    from rcdms_tpu.core.layers import DenseNT, DenseTN
+
+    x = jax.random.normal(jax.random.PRNGKey(43), (2, 5, 7, 20))
+    dense = nn.Dense(24)
+    params = dense.init(jax.random.PRNGKey(44), x)
+    want = dense.apply(params, x)
+
+    got_t = DenseNT(24).apply(params, x)      # (2, 5, 24, 7)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got_t, -1, -2)),
+                               np.asarray(want), atol=1e-5)
+
+    back = nn.Dense(16)
+    bparams = back.init(jax.random.PRNGKey(45), want)
+    want2 = back.apply(bparams, want)
+    got2 = DenseTN(16).apply(bparams, jnp.swapaxes(want, -1, -2))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=1e-5)
+
+
+def test_attention_module_nt_matches_xla(interpret_kernels):
+    """Attention through the nt kernel path equals the XLA path with the
+    SAME params (identical trees), self and cross."""
+    x = jax.random.normal(jax.random.PRNGKey(46), (2, 256, 80))
+    ctx = jax.random.normal(jax.random.PRNGKey(47), (2, 91, 24))
+    for context in (None, ctx):
+        set_default_attention_impl("xla")
+        try:
+            attn = Attention(2, 40)
+            params = attn.init(jax.random.PRNGKey(48), x, context=context)
+            want = attn.apply(params, x, context=context)
+        finally:
+            set_default_attention_impl("auto")
+        set_default_attention_impl("pallas")
+        try:
+            got = attn.apply(params, x, context=context)
+        finally:
+            set_default_attention_impl("auto")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
 
 
 def test_frame_bfnc_matches_oracle(interpret_kernels):
@@ -149,17 +192,10 @@ def test_padded_dense_matches_dense():
                                atol=1e-6)
     assert np.all(np.asarray(got)[..., 24:] == 0)
 
-    inter = PaddedDense(24, out_pad=("interleave", 3, 8, 128))
-    got_i = np.asarray(inter.apply(params, x)).reshape(3, 7, 3, 128)
-    np.testing.assert_allclose(got_i[..., :8].reshape(3, 7, 24),
-                               np.asarray(want), atol=1e-6)
-    assert np.all(got_i[..., 8:] == 0)
-
     # in_pad consumes what out_pad produced, annihilating pad lanes
-    back = PaddedDense(20, in_pad=("interleave", 3, 8, 128))
-    bparams = back.init(jax.random.PRNGKey(6),
-                        jnp.zeros((1, 1, 3 * 128)))
-    got_b = back.apply(bparams, jnp.asarray(got_i.reshape(3, 7, 384)))
+    back = PaddedDense(20, in_pad=("tail", 24, 128))
+    bparams = back.init(jax.random.PRNGKey(6), jnp.zeros((1, 1, 128)))
+    got_b = back.apply(bparams, got)
     ref_b = np.asarray(want) @ np.asarray(
         bparams["params"]["kernel"]) + np.asarray(bparams["params"]["bias"])
     np.testing.assert_allclose(np.asarray(got_b), ref_b, atol=1e-5)
@@ -175,22 +211,23 @@ def _attention_apply(impl, x, ctx=None, heads=2, head_dim=40):
         set_default_attention_impl("auto")
 
 
-def test_attention_module_packed_flash_matches_xla(interpret_kernels):
+def test_attention_module_kernel_flash_matches_xla(interpret_kernels):
     x = jax.random.normal(jax.random.PRNGKey(8), (2, 256, 80))
     _, params, want = _attention_apply("xla", x)
     attn, params2, got = _attention_apply("pallas", x)
-    # identical param trees (PaddedDense mirrors nn.Dense's {kernel, bias})
+    # identical param trees (DenseNT/DenseTN mirror nn.Dense's
+    # {kernel, bias})
     assert jax.tree_util.tree_structure(params) == \
         jax.tree_util.tree_structure(params2)
-    got_same = attn.apply(params, x)  # xla-init params through packed path
+    got_same = attn.apply(params, x)  # xla-init params through kernel path
     np.testing.assert_allclose(np.asarray(got_same), np.asarray(want),
                                atol=2e-5)
 
 
-def test_attention_module_packed_cross_short_kv_matches_xla(
+def test_attention_module_kernel_cross_short_kv_matches_xla(
         interpret_kernels):
     """Cross attention with a 91-token context (not a lane multiple): the
-    packed path row-pads the context and masks via kv_len — must equal the
+    kernel path row-pads the context and masks via kv_len — must equal the
     XLA path."""
     x = jax.random.normal(jax.random.PRNGKey(30), (2, 256, 80))
     ctx = jax.random.normal(jax.random.PRNGKey(31), (2, 91, 24))
@@ -231,7 +268,7 @@ def test_attention_module_frame_kernel_matches_xla(interpret_kernels):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_attention_module_packed_grads(interpret_kernels):
+def test_attention_module_kernel_grads(interpret_kernels):
     x = jax.random.normal(jax.random.PRNGKey(10), (1, 256, 80))
     set_default_attention_impl("xla")
     try:

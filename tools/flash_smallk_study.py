@@ -28,6 +28,11 @@ import functools
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -159,6 +164,159 @@ def run_variant(name, kernel, q, k, v, transposed=False):
     return sec
 
 
+# --- isolated single-matmul kernels (which dot is slow?) -------------------
+# One (BLK_Q, SKV)-cell matmul per grid step; the product is reduced to a
+# (BLK_Q, 128) sum tile in-kernel so nothing is DCE'd and the output write
+# is negligible. Real flops per cell printed for comparison.
+
+
+def _iso_call(kernel, a_tile, a_index, b_tile, a_full, b_full, cells):
+    return pl.pallas_call(
+        kernel,
+        grid=(B, cells),
+        in_specs=[
+            pl.BlockSpec((1,) + a_tile, a_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + b_tile, lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLK_Q, 128), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, SQ, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024))(a_full, b_full)
+
+
+def _time_iso(name, fn, a, flops):
+    def step(t):
+        y = fn(t)
+        s = (jnp.sum(y) * 1e-20 + 1.0).astype(t.dtype)
+        return t * s
+
+    try:
+        sec = slope_time(step, a)
+    except Exception as e:
+        print(f"{name:11s} FAILED: {type(e).__name__}: {str(e)[:160]}")
+        return
+    print(f"{name:11s} {sec * 1e3:8.3f} ms  {flops / sec / 1e12:6.1f} TF/s "
+          f"(real-FLOP rate)")
+
+
+def run_isolated():
+    key = jax.random.PRNGKey(3)
+    cells = SQ // BLK_Q
+
+    def redsum(s):
+        return jnp.sum(s.reshape(BLK_Q, -1, 128), axis=1)
+
+    # score_base: (BLK,128) x (SKV,128), contract lanes
+    q = jax.random.normal(key, (B, SQ, GROUP), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, SKV, GROUP),
+                          jnp.bfloat16)
+
+    def k_score_base(a_ref, b_ref, o_ref):
+        s = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = redsum(s)
+
+    _time_iso("score_base",
+              lambda t: _iso_call(k_score_base, (BLK_Q, GROUP),
+                                  lambda b_, i: (b_, i, 0), (SKV, GROUP),
+                                  t, k, cells),
+              q, 2 * B * SQ * SKV * DH)
+
+    # score_nt: (40, BLK) x (40, SKV), contract sublanes
+    qt = jax.random.normal(key, (B, DH, SQ), jnp.bfloat16)
+    kt = jax.random.normal(jax.random.fold_in(key, 2), (B, DH, SKV),
+                           jnp.bfloat16)
+
+    def k_score_nt(a_ref, b_ref, o_ref):
+        s = jax.lax.dot_general(a_ref[0], b_ref[0], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = redsum(s)
+
+    _time_iso("score_nt",
+              lambda t: _iso_call(k_score_nt, (DH, BLK_Q),
+                                  lambda b_, i: (b_, 0, i), (DH, SKV),
+                                  t, kt, cells),
+              qt, 2 * B * SQ * SKV * DH)
+
+    # PV + softmax variants generate P IN-KERNEL from iota (streaming a
+    # (B, SQ, SKV) P from HBM is ~3.4 ms of pure bandwidth and would mask
+    # the MXU question); the per-variant generation cost is identical.
+    def gen_p(seed_scalar):
+        r = jax.lax.broadcasted_iota(jnp.int32, (BLK_Q, SKV), 0) * 7
+        c = jax.lax.broadcasted_iota(jnp.int32, (BLK_Q, SKV), 1)
+        return ((r + c) % 117).astype(jnp.bfloat16) * seed_scalar
+
+    dummy = jax.random.normal(key, (B, 8, 128), jnp.bfloat16)
+
+    def _iso_gen(kernel, b_tile, b_full):
+        return pl.pallas_call(
+            kernel,
+            grid=(B, cells),
+            in_specs=[
+                pl.BlockSpec((1, 8, 128), lambda b_, i: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + b_tile, lambda b_, i: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BLK_Q, 128),
+                                   lambda b_, i: (b_, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, SQ, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024))(dummy, b_full)
+
+    v = jax.random.normal(jax.random.fold_in(key, 3), (B, SKV, GROUP),
+                          jnp.bfloat16)
+    v40 = v[..., :DH]
+    flops = 2 * B * SQ * SKV * DH
+
+    def k_pv_base(a_ref, b_ref, o_ref):
+        p_ = gen_p(a_ref[0, 0, 0])
+        s = jax.lax.dot_general(p_, b_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = s
+
+    _time_iso("pv_base",
+              lambda t: _iso_gen(k_pv_base, (SKV, GROUP), v),
+              dummy, flops)
+
+    def k_pv_narrow(a_ref, b_ref, o_ref):
+        p_ = gen_p(a_ref[0, 0, 0])
+        s = jax.lax.dot_general(p_, b_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = jnp.pad(s, ((0, 0), (0, 128 - DH)))
+
+    _time_iso("pv_narrow",
+              lambda t: _iso_gen(k_pv_narrow, (SKV, DH), v40),
+              dummy, flops)
+
+    def k_pv_nt(a_ref, b_ref, o_ref):
+        p_ = gen_p(a_ref[0, 0, 0])
+        s = jax.lax.dot_general(b_ref[0], p_, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        # s: (40, BLK) — store transposed
+        o_ref[0] = jnp.pad(s.T, ((0, 0), (0, 128 - DH)))
+
+    _time_iso("pv_nt",
+              lambda t: _iso_gen(k_pv_nt, (DH, SKV),
+                                 jnp.swapaxes(v40, 1, 2)),
+              dummy, flops)
+
+    # softmax-only: the non-matmul share of the attention kernel
+    def k_softmax(a_ref, b_ref, o_ref):
+        s = gen_p(a_ref[0, 0, 0]).astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0] = redsum(e * (1.0 / l))
+
+    _time_iso("softmax",
+              lambda t: _iso_gen(k_softmax, (SKV, DH), v40),
+              dummy, flops)  # printed rate = hypothetical matmul rate
+
+
 def main():
     print("backend:", jax.default_backend())
     key = jax.random.PRNGKey(0)
@@ -177,6 +335,8 @@ def main():
     kt = jnp.swapaxes(k128[..., :DH], 1, 2)
     vt = jnp.swapaxes(v128[..., :DH], 1, 2)
     run_variant("nt40", _kernel_nt40, qt, kt, vt, transposed=True)
+
+    run_isolated()
 
 
 if __name__ == "__main__":

@@ -36,6 +36,11 @@ import argparse
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
