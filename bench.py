@@ -320,9 +320,15 @@ def main_train_step(args):
                                       dtype),
         frame_known=jnp.zeros((b, f), bool).at[:, 0].set(True),
     )
-    # fp32 training params (master weights; modules compute in bf16)
+    # training params: fp32 master weights by default (the reference's
+    # ZeRO-2 semantics; 1.285B params -> 14.4 GiB of fp32 Adam state, which
+    # does NOT fit one 16 GiB v5e chip — that config needs the sharded
+    # v5e-8/16 path). --params-dtype bfloat16 gives the single-chip
+    # measurable envelope (params+moments bf16, 7.2 GiB state).
+    pdt = jnp.dtype(args.params_dtype)
     params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
+        lambda s: jnp.zeros(s.shape, pdt if s.dtype == jnp.float32
+                            else s.dtype),
         jax.eval_shape(lambda k: trainer.init_params(k, batch), ks[5]))
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-5, warmup_steps=0,
                                         grad_clip_norm=1.0))
