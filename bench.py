@@ -164,6 +164,10 @@ def main():
     ap.add_argument("--steps", type=int, default=None,
                     help="DDIM steps (default: 20, the reference eval "
                          "config; BASELINE config #4 uses 50)")
+    ap.add_argument("--batched-cfg", action="store_true",
+                    help="run the CFG pair as one batch-2b UNet call "
+                         "instead of two sequential b calls (A/B for the "
+                         "per-op overhead vs activation-memory tradeoff)")
     ap.add_argument("--encoder-propagation", type=int, default=0,
                     help="OPT-IN approximate fast sampling: recompute the "
                          "UNet encoder every k-th step (k>=2; changes "
@@ -215,12 +219,13 @@ def main():
         temporal_attn_layers=args.temporal_attn_layers, batch=args.batch,
         mesh=mesh, image_size=args.image_size, frames=args.frames,
         guidance=args.guidance_scale)
-    if args.steps or args.encoder_propagation:
+    if args.steps or args.encoder_propagation or args.batched_cfg:
         import dataclasses
 
         sampler = dataclasses.replace(
             sampler, num_steps=args.steps or sampler.num_steps,
-            encoder_propagation=args.encoder_propagation)
+            encoder_propagation=args.encoder_propagation,
+            sequential_cfg=not args.batched_cfg)
         steps = args.steps or steps
     frames = frames * args.batch
     run = jax.jit(sampler.__call__)

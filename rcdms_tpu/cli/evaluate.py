@@ -90,8 +90,8 @@ def parse_args(argv=None):
                         "numerics; keep 0 for reference parity)")
     p.add_argument("--shard-story", action="store_true",
                    help="shard each single story over ALL local devices "
-                        "(('cfg','space') inference mesh) to cut latency "
-                        "instead of sharding the story index range")
+                        "(('cfg','frame','space') inference mesh) to cut "
+                        "latency instead of sharding the story index range")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)

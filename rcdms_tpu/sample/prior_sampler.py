@@ -44,8 +44,8 @@ class PriorSampler:
     schedule: UnCLIPSchedule = UnCLIPSchedule()
     num_steps: int = 20          # reference default (`stage1_batchtest:284`)
     guidance_scale: float = 2.0  # reference default (`stage1_batchtest:286`)
-    # optional ('cfg','space') inference mesh; the prior is small, so only
-    # the CFG axis is split (the 97-token seq attention stays on-device)
+    # optional ('cfg','frame','space') inference mesh; the prior is small,
+    # so only the CFG/frame axes split (97-token seq attention on-device)
     mesh: object = None
 
     def __call__(self, params, cond: PriorConditioning, key: Array,

@@ -43,8 +43,9 @@ class StorySampler:
     num_steps: int = 20           # reference eval default
     guidance_scale: float = 2.0   # reference eval default
     eta: float = 0.0
-    # optional ('cfg','space') inference mesh (train/sharding.py::
-    # inference_mesh): CFG branches over 'cfg', latent rows over 'space'
+    # optional ('cfg','frame','space') inference mesh (train/sharding.py::
+    # inference_mesh): CFG branches over 'cfg', frames over 'frame',
+    # latent rows over 'space' (audited default: frame=1 — BASELINE.md r3)
     mesh: object = None
     # single-chip: run the two CFG branches as a lax.map over the context
     # pair instead of batch-doubling. Identical math and one UNet

@@ -113,6 +113,25 @@ def _kernel_nt40(qt_ref, kt_ref, vt_ref, ot_ref):
     ot_ref[0] = ot.astype(ot_ref.dtype)
 
 
+def _kernel_nt_t40(qt_ref, kt_ref, vt_ref, ot_ref):
+    """s^T formulation: score (skv, blk) via the same sublane contraction
+    with operands swapped; softmax over SUBLANES; PV becomes a STANDARD
+    (dh, skv) x (skv, blk) matmul at real-dh rate; l lands as (1, blk) so
+    post-PV normalization needs no transpose."""
+    qt = qt_ref[0]            # (DH, BLK_Q)
+    kt = kt_ref[0]            # (DH, SKV)
+    vt = vt_ref[0]            # (DH, SKV)
+    st = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    st = st * SCALE           # (SKV, BLK_Q)
+    m = jnp.max(st, axis=0, keepdims=True)
+    p = jnp.exp(st - m).astype(vt.dtype)
+    l = jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)  # (1, blk)
+    ot = jax.lax.dot_general(vt, p, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ot_ref[0] = (ot * (1.0 / l)).astype(ot_ref.dtype)
+
+
 def run_variant(name, kernel, q, k, v, transposed=False):
     if transposed:
         grid = (B, SQ // BLK_Q)
@@ -335,6 +354,7 @@ def main():
     kt = jnp.swapaxes(k128[..., :DH], 1, 2)
     vt = jnp.swapaxes(v128[..., :DH], 1, 2)
     run_variant("nt40", _kernel_nt40, qt, kt, vt, transposed=True)
+    run_variant("nt_t40", _kernel_nt_t40, qt, kt, vt, transposed=True)
 
     run_isolated()
 
