@@ -97,10 +97,11 @@ def build(tiny: bool, params_dtype: str = "float32",
 
 
 def build_full_pipeline(tiny: bool, steps: int = 20,
-                        encoder_propagation: int = 0):
+                        encoder_propagation: int = 0, batch: int = 1):
     """Full two-stage pipeline (CLIP towers + prior + unet + fusion + VAE)
     with random weights — the BASELINE north-star config (5-frame 512px
-    story, both stages, one compiled program)."""
+    story, both stages, one compiled program). `batch` stories run through
+    ONE jitted generate (the evaluate CLI's --eval-batch path)."""
     import numpy as np
 
     from rcdms_tpu.cli import evaluate
@@ -119,22 +120,23 @@ def build_full_pipeline(tiny: bool, steps: int = 20,
 
         set_lazy_zero_init(True)
     pipeline, params, _, ds_cfg = evaluate.build_pipeline(args)
-    f = ds_cfg.num_frames
+    b, f = batch, ds_cfg.num_frames
     size, csize = ds_cfg.image_size, ds_cfg.clip_size
     t1 = pipeline.text_encoder_s1.cfg.max_positions
     t2 = pipeline.text_encoder_s2.cfg.max_positions
     rng = np.random.RandomState(0)
     inputs = StoryInputs(
-        tokens_s1=jnp.asarray(rng.randint(0, 1000, (1, f, t1)), jnp.int32),
-        tokens_s1_u=jnp.asarray(rng.randint(0, 1000, (1, f, t1)), jnp.int32),
-        tokens_s2=jnp.asarray(rng.randint(0, 1000, (1, f, t2)), jnp.int32),
-        tokens_s2_u=jnp.asarray(rng.randint(0, 1000, (1, f, t2)), jnp.int32),
-        source_clip=jnp.asarray(rng.randn(1, f, csize, csize, 3), jnp.float32),
-        mask_clip=jnp.asarray(rng.randn(1, f, csize, csize, 3), jnp.float32),
-        source_pixels=jnp.zeros((1, f, size, size, 3), jnp.float32),
-        frame_known=jnp.zeros((1, f), bool).at[:, 0].set(True),
+        tokens_s1=jnp.asarray(rng.randint(0, 1000, (b, f, t1)), jnp.int32),
+        tokens_s1_u=jnp.asarray(rng.randint(0, 1000, (b, f, t1)), jnp.int32),
+        tokens_s2=jnp.asarray(rng.randint(0, 1000, (b, f, t2)), jnp.int32),
+        tokens_s2_u=jnp.asarray(rng.randint(0, 1000, (b, f, t2)), jnp.int32),
+        source_clip=jnp.asarray(rng.randn(b, f, csize, csize, 3),
+                                jnp.float32),
+        mask_clip=jnp.asarray(rng.randn(b, f, csize, csize, 3), jnp.float32),
+        source_pixels=jnp.zeros((b, f, size, size, 3), jnp.float32),
+        frame_known=jnp.zeros((b, f), bool).at[:, 0].set(True),
     )
-    return pipeline, params, inputs, f
+    return pipeline, params, inputs, b * f
 
 
 def main():
@@ -396,7 +398,7 @@ def main_full_pipeline(args):
 
     pipeline, params, inputs, frames = build_full_pipeline(
         args.tiny, steps=3 if args.tiny else 20,
-        encoder_propagation=args.encoder_propagation)
+        encoder_propagation=args.encoder_propagation, batch=args.batch)
     run = jax.jit(pipeline.generate)
 
     def sync(out):

@@ -37,7 +37,9 @@ from rcdms_tpu.train.sharding import (
 )
 from rcdms_tpu.train.stage2 import Stage2Trainer, encode_batch
 from rcdms_tpu.train.train_state import TrainState
+from rcdms_tpu.data.prefetch import PrefetchIterator
 from rcdms_tpu.utils.logging import MetricLogger, StepTimer, setup_logging
+from rcdms_tpu.utils.preemption import PreemptionGuard
 
 
 def parse_args(argv=None):
@@ -77,6 +79,8 @@ def parse_args(argv=None):
     p.add_argument("--accumulate-steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable the background batch-prefetch thread")
     p.add_argument("--report-to", default="tensorboard",
                    help="comma list of trackers: tensorboard, wandb, comet_ml\n"
                         "(reference configs/stage1_config.py:132-141; JSONL is\n"
@@ -157,6 +161,10 @@ def main(argv=None):
     state = TrainState.create(params, tx)
 
     mesh = make_mesh(MeshConfig())
+    if args.batch_size % mesh.shape["data"]:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"data-parallel device count {mesh.shape['data']}")
     zero2 = not args.no_zero2
     state = place_state(state, mesh, zero2=zero2)
     step_fn = make_sharded_train_step(trainer.train_step, state, mesh,
@@ -179,6 +187,11 @@ def main(argv=None):
                               seed=args.seed,
                               shard_id=jax.process_index(),
                               num_shards=jax.process_count())
+    if not args.no_prefetch:
+        # overlap host decode/pack with device compute (depth 1 stays
+        # under the native feeder's ring depth; data/prefetch.py)
+        batches = PrefetchIterator(batches, depth=1)
+    guard = PreemptionGuard.install()
     key = jax.random.PRNGKey(args.seed)
     timer = StepTimer()
     for step_i in range(start_step, args.max_train_steps):
@@ -202,6 +215,17 @@ def main(argv=None):
                              "opt_state": state.opt_state,
                              "step": state.step},
                             {"last_global_step": step_i + 1})
+        if guard.should_stop:
+            # SIGTERM (preemption): save at the step boundary, exit clean
+            save_checkpoint(args.output_dir, step_i + 1,
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": state.step},
+                            {"last_global_step": step_i + 1,
+                             "preempted": True})
+            print(f"preempted: checkpoint saved at step {step_i + 1}")
+            log.close()
+            return
     save_checkpoint(args.output_dir, args.max_train_steps,
                     {"params": state.params, "opt_state": state.opt_state,
                      "step": state.step},
