@@ -1,161 +1,102 @@
 """PV-matmul + softmax cost study for the nt flash kernel (round 3).
 
 After the nt rework the score matmul runs at real-dh cost (0.62 ms at
-level 0); the remaining ~3.7 ms per call is softmax + PV. This script
-isolates, at level-0 shapes (B=80, blk=512, skv=4096, dh=40, bf16):
+level 0); the remaining ~3.7 ms per call is softmax + PV. This isolates,
+at level-0 shapes (B=80, blk=512, skv=4096, dh=40, bf16):
 
   pv_lanes    ot = dot(vt (dh,skv), p (blk,skv)) contracting LANES
-              (the nt kernel's current PV)
-  pv_std      o = dot(p (blk,skv), v (skv,128group)) standard, padded n
-  pv_narrow   o = dot(p (blk,skv), v (skv,dh)) narrow n (40 lanes)
-  softmax     max+exp+sum+scale only
-  softmax2    exp2 formulation (s * log2(e), exp2) — cheaper on the VPU?
+              (the nt kernel's PV)            measured 2.73 ms
+  pv_std      o = dot(p, v (skv,128group))    measured 3.55 ms
+  softmax     max+exp+sum+scale               7.10 ms incl. 5.24 baseline
+  softmax2    exp2 formulation                identical to exp
+  reduce_only read + strided reduce baseline  5.24 ms
 
-P is generated in-kernel from a float-converted iota (no HBM streaming,
-no int modulo — Mosaic rejects the modulo formulation).
+P is ONE reusable (blk, skv) input block per batch row — Pallas fetches
+unchanged blocks once, so HBM streaming stays ~0.4 ms. NOTE two Mosaic
+pitfalls found here (also in the project memory): reading a SCALAR from a
+VMEM ref (ref[0,0,0]) crashes this box's remote Mosaic compiler with an
+opaque HTTP 500, and so do input tiles with a lane dim < 128 (e.g.
+(skv, 40)) — hence no pv_narrow variant.
 """
 
-from __future__ import annotations
-
-import functools
-import time
-
 import jax
-
-jax.config.update("jax_compilation_cache_dir",
-                  __import__("os").path.expanduser("~/.cache/jax"))
+jax.config.update("jax_compilation_cache_dir", __import__("os").path.expanduser("~/.cache/jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import jax.numpy as jnp
-import numpy as np
+import jax.numpy as jnp, numpy as np, functools, time
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B, SKV, DH, GROUP = 80, 4096, 40, 128
-BLK = 512
-CELLS = 8  # SQ = BLK * CELLS = 4096
+B, SKV, DH, GROUP, BLK, CELLS = 80, 4096, 40, 128, 512, 8
 SQ = BLK * CELLS
-
 
 def slope_time(run, x, n1=4, n2=24):
     @functools.partial(jax.jit, static_argnames=("n",))
     def chain(t, n):
         return jax.lax.fori_loop(0, n, lambda i, a: run(a), t)
-
     def timed(n):
-        chain(x, n)[(0,) * x.ndim].block_until_ready()
+        chain(x, n)[(0,)*x.ndim].block_until_ready()
         best = float("inf")
         for _ in range(3):
-            t0 = time.perf_counter()
-            r = chain(x, n)
-            _ = np.asarray(r[(0,) * r.ndim])
-            best = min(best, time.perf_counter() - t0)
+            t0 = time.perf_counter(); r = chain(x, n)
+            _ = np.asarray(r[(0,)*r.ndim]); best = min(best, time.perf_counter()-t0)
         return best
-
     t1, t2 = timed(n1), timed(n2)
-    return (t2 - t1) / (n2 - n1)
+    return (t2-t1)/(n2-n1)
 
+key = jax.random.PRNGKey(0)
+p_in = jax.random.uniform(key, (B, BLK, SKV), jnp.bfloat16) * 0.001
+vt = jax.random.normal(jax.random.fold_in(key, 1), (B, DH, SKV), jnp.bfloat16)
+v128 = jax.random.normal(jax.random.fold_in(key, 2), (B, SKV, GROUP), jnp.bfloat16)
+flops = 2 * B * SQ * SKV * DH
 
-def gen_p(seed, dtype=jnp.bfloat16):
-    r = jax.lax.broadcasted_iota(jnp.int32, (BLK, SKV), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (BLK, SKV), 1)
-    x = r.astype(jnp.float32) * 1e-4 + c.astype(jnp.float32) * 1e-6
-    return (x * seed.astype(jnp.float32)).astype(dtype)
-
-
-def bench(name, kernel, b_shape, b_val, flops):
-    dummy = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 128),
-                              jnp.bfloat16)
-    call = pl.pallas_call(
-        kernel,
-        grid=(B, CELLS),
-        in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda b_, i: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + b_shape, lambda b_, i: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLK, 128), lambda b_, i: (b_, i, 0),
-                               memory_space=pltpu.VMEM),
+def bench(name, kernel, b_shape, b_val, flp):
+    call = pl.pallas_call(kernel, grid=(B, CELLS),
+        in_specs=[pl.BlockSpec((1, BLK, SKV), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1,) + b_shape, lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, BLK, 128), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, SQ, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024))
-
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96*1024*1024))
     def step(t):
         y = call(t, b_val)
         s = (jnp.sum(y) * 1e-20 + 1.0).astype(t.dtype)
         return t * s
-
     try:
-        sec = slope_time(step, dummy)
+        sec = slope_time(step, p_in)
     except Exception as e:
-        print(f"{name:10s} FAILED: {type(e).__name__}: {str(e)[:160]}")
-        return
-    rate = f"{flops / sec / 1e12:6.1f} TF/s" if flops else "     (VPU)"
-    print(f"{name:10s} {sec * 1e3:8.3f} ms  {rate}")
+        print(f"{name:10s} FAILED: {str(e)[:120]}"); return
+    rate = f"{flp/sec/1e12:6.1f} TF/s" if flp else "   (VPU)"
+    print(f"{name:10s} {sec*1e3:8.3f} ms  {rate}", flush=True)
 
+def k_pv_lanes(p_ref, b_ref, o_ref):
+    ot = jax.lax.dot_general(b_ref[0], p_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.pad(ot.T, ((0, 0), (0, 128 - DH)))
+bench("pv_lanes", k_pv_lanes, (DH, SKV), vt, flops)
 
-def main():
-    print("backend:", jax.default_backend())
-    key = jax.random.PRNGKey(1)
-    flops = 2 * B * SQ * SKV * DH
+def k_pv_std(p_ref, b_ref, o_ref):
+    o = jax.lax.dot_general(p_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o
+bench("pv_std", k_pv_std, (SKV, GROUP), v128, flops)
 
-    vt = jax.random.normal(key, (B, DH, SKV), jnp.bfloat16)
-    v128 = jax.random.normal(jax.random.fold_in(key, 1), (B, SKV, GROUP),
-                             jnp.bfloat16)
-    v40 = v128[..., :DH]
+def k_softmax(p_ref, b_ref, o_ref):
+    s = p_ref[0].astype(jnp.float32) * 1000.0
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    e = e * (1.0 / l)
+    o_ref[0] = jnp.sum(e.reshape(BLK, -1, 128), axis=1)
+bench("softmax", k_softmax, (DH, SKV), vt, 0)
 
-    def k_pv_lanes(a_ref, b_ref, o_ref):
-        p = gen_p(a_ref[0, 0, 0])
-        ot = jax.lax.dot_general(b_ref[0], p, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        o_ref[0] = jnp.pad(ot.T, ((0, 0), (0, 128 - DH)))
+def k_softmax2(p_ref, b_ref, o_ref):
+    s = p_ref[0].astype(jnp.float32) * 1000.0
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2((s - m) * 1.4426950408889634)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    e = e * (1.0 / l)
+    o_ref[0] = jnp.sum(e.reshape(BLK, -1, 128), axis=1)
+bench("softmax2", k_softmax2, (DH, SKV), vt, 0)
 
-    bench("pv_lanes", k_pv_lanes, (DH, SKV), vt, flops)
-
-    def k_pv_std(a_ref, b_ref, o_ref):
-        p = gen_p(a_ref[0, 0, 0])
-        o = jax.lax.dot_general(p, b_ref[0], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[0] = o
-
-    bench("pv_std", k_pv_std, (SKV, GROUP), v128, flops)
-
-    def k_pv_narrow(a_ref, b_ref, o_ref):
-        p = gen_p(a_ref[0, 0, 0])
-        o = jax.lax.dot_general(p, b_ref[0], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[0] = jnp.pad(o, ((0, 0), (0, 128 - DH)))
-
-    bench("pv_narrow", k_pv_narrow, (SKV, DH), v40, flops)
-
-    def k_softmax(a_ref, b_ref, o_ref):
-        s = gen_p(a_ref[0, 0, 0], jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        l = jnp.sum(e, axis=-1, keepdims=True)
-        e = e * (1.0 / l)
-        o_ref[0] = jnp.sum(e.reshape(BLK, -1, 128), axis=1)
-
-    bench("softmax", k_softmax, (SKV, DH), v40, 0)
-
-    def k_softmax2(a_ref, b_ref, o_ref):
-        s = gen_p(a_ref[0, 0, 0], jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp2((s - m) * 1.4426950408889634)
-        l = jnp.sum(e, axis=-1, keepdims=True)
-        e = e * (1.0 / l)
-        o_ref[0] = jnp.sum(e.reshape(BLK, -1, 128), axis=1)
-
-    bench("softmax2", k_softmax2, (SKV, DH), v40, 0)
-
-    def k_genp_only(a_ref, b_ref, o_ref):
-        p = gen_p(a_ref[0, 0, 0])
-        o_ref[0] = jnp.sum(p.astype(jnp.float32).reshape(BLK, -1, 128),
-                           axis=1)
-
-    bench("genp_only", k_genp_only, (SKV, DH), v40, 0)
-
-
-if __name__ == "__main__":
-    main()
+def k_noop(p_ref, b_ref, o_ref):
+    o_ref[0] = jnp.sum(p_ref[0].astype(jnp.float32).reshape(BLK, -1, 128), axis=1)
+bench("reduce_only", k_noop, (DH, SKV), vt, 0)
