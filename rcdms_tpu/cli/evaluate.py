@@ -95,6 +95,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--config", default=None,
+                   help="reference-format OmegaConf YAML (testing.yaml "
+                        "schema): unet_additional_kwargs applied to the "
+                        "UNet/prior temporal modules, noise_scheduler_"
+                        "kwargs to the DDIM sampling schedule")
     p.add_argument("--eval-batch", type=int, default=1,
                    help="stories per jitted generate call (the framework's "
                         "own batching: ~13%% per-story throughput at 8, "
@@ -141,6 +146,17 @@ def build_pipeline(args):
         t1_cfg = CLIPTextConfig.bigg(ds_cfg.max_text_len, ds_cfg.vocab_size)
         t2_cfg = CLIPTextConfig.sd15(ds_cfg.max_text_len, ds_cfg.vocab_size)
         v_cfg = CLIPVisionConfig()
+
+    ddim_schedule = None
+    if getattr(args, "config", None):
+        from rcdms_tpu.configs.reference_yaml import (
+            apply_to_unet_config,
+            parse_reference_yaml,
+        )
+
+        overrides, ddim_schedule = parse_reference_yaml(args.config)
+        unet_cfg = apply_to_unet_config(unet_cfg, overrides)
+        prior_cfg = apply_to_unet_config(prior_cfg, overrides)
 
     import jax.numpy as _jnp
 
@@ -197,7 +213,8 @@ def build_pipeline(args):
         story_sampler=StorySampler(
             unet, fusion, num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, mesh=mesh,
-            encoder_propagation=getattr(args, "encoder_propagation", 0)),
+            encoder_propagation=getattr(args, "encoder_propagation", 0),
+            **({"schedule": ddim_schedule} if ddim_schedule else {})),
         mesh=mesh)
     params = {"text_s1": text1_p, "text_s2": text2_p, "vision": vision_p,
               "vae": vae_p, "prior": prior_p, "unet": unet_p,

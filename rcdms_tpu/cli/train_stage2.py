@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--accumulate-steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--config", default=None,
+                   help="reference-format OmegaConf YAML (the repo's "
+                        "configs/training.yaml schema: unet_additional_"
+                        "kwargs / motion_module_kwargs) applied to the "
+                        "UNet config")
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the background batch-prefetch thread")
     p.add_argument("--report-to", default="tensorboard",
@@ -129,6 +134,15 @@ def main(argv=None):
         text_cfg = CLIPTextConfig.sd15(max_positions=ds_cfg.max_text_len,
                                        vocab_size=ds_cfg.vocab_size)
         vision_cfg = CLIPVisionConfig()
+
+    if args.config:
+        from rcdms_tpu.configs.reference_yaml import (
+            apply_to_unet_config,
+            parse_reference_yaml,
+        )
+
+        overrides, _ = parse_reference_yaml(args.config)
+        unet_cfg = apply_to_unet_config(unet_cfg, overrides)
 
     sd = args.sd_pretrained
     text_enc, text_p = common.build_text_encoder(
