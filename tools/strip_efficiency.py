@@ -21,6 +21,11 @@ Usage: python tools/strip_efficiency.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import functools
 import time
 
@@ -34,11 +39,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(fn, x, n1=2, n2=8):
+def slope_time(fn, x, params, n1=2, n2=8):
+    """params travel as a jit ARGUMENT — closing over 5 GB of zeros bakes
+    them into the lowering as constants (measured: a warning + glacial
+    compiles)."""
+
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(t, n):
+    def chain(t, params, n):
         def body(i, a):
-            y = fn(a)
+            y = fn(a, params)
             s = (jnp.sum(y.astype(jnp.float32)) * 1e-20 + 1.0).astype(
                 a.dtype)
             return a * s
@@ -46,11 +55,11 @@ def slope_time(fn, x, n1=2, n2=8):
         return jax.lax.fori_loop(0, n, body, t)
 
     def timed(n):
-        chain(x, n)[(0,) * x.ndim].block_until_ready()
+        chain(x, params, n)[(0,) * x.ndim].block_until_ready()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            r = chain(x, n)
+            r = chain(x, params, n)
             _ = np.asarray(r[(0,) * r.ndim])
             best = min(best, time.perf_counter() - t0)
         return best
@@ -78,10 +87,10 @@ def main():
             jax.eval_shape(lambda k: unet.init(k, x, tb, ctx),
                            jax.random.PRNGKey(0)))
 
-        def fwd(xx, params=params, tb=tb, ctx=ctx):
+        def fwd(xx, params, tb=tb, ctx=ctx):
             return unet.apply(params, xx, tb, ctx)
 
-        sec = slope_time(fwd, x)
+        sec = slope_time(fwd, x, params)
         results[h] = sec
         ideal = results[64] * h / 64
         print(f"H={h:2d}: {sec * 1e3:8.2f} ms  strip_factor "
