@@ -54,6 +54,30 @@ def test_sharded_generate_matches_unsharded():
                                atol=5e-5, rtol=1e-5)
 
 
+def test_sharded_generate_batch2_matches_unsharded():
+    """--shard-story combined with --eval-batch N: a batch of stories
+    through the sharded mesh must equal the unsharded batch output."""
+    import jax.numpy as jnp
+
+    from rcdms_tpu.sample.pipeline import build_tiny_pipeline
+    from rcdms_tpu.sample.pipeline import StoryInputs
+
+    pipeline, params, inputs1 = build_tiny_pipeline(jax.random.PRNGKey(7))
+    # stack the example story twice with different tokens
+    inputs = StoryInputs(*[
+        jnp.concatenate([v, v + (1 if v.dtype == jnp.int32 else 0.1)
+                         if v.dtype != jnp.bool_ else v])
+        for v in inputs1])
+    key = jax.random.PRNGKey(8)
+    frames_ref, embeds_ref = jax.jit(pipeline.generate)(params, inputs, key)
+    sharded = _with_mesh(pipeline, inference_mesh(jax.devices()))
+    frames_sh, embeds_sh = jax.jit(sharded.generate)(params, inputs, key)
+    np.testing.assert_allclose(np.asarray(frames_sh),
+                               np.asarray(frames_ref), atol=5e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(embeds_sh),
+                               np.asarray(embeds_ref), atol=5e-5, rtol=1e-5)
+
+
 def test_sharded_autoreg_matches_unsharded():
     key = jax.random.PRNGKey(2)
     pipeline, params, inputs = _build(key)
