@@ -71,6 +71,10 @@ def parse_args(argv=None):
                    help="orbax dir with trained prior params")
     p.add_argument("--stage2-ckpt", default=None,
                    help="orbax dir with trained unet+fusion params")
+    p.add_argument("--converted-ckpt", default=None,
+                   help="orbax dir produced by `rcdms_tpu.cli.convert` "
+                        "holding the FULL pipeline param tree — skips all "
+                        "per-component torch loading")
     p.add_argument("--rcdms-stage1-ckpt", default=None,
                    help="reference DeepSpeed stage-1 blob "
                         "(mp_rank_00_model_states.pt or its checkpoint dir)")
@@ -219,6 +223,15 @@ def build_pipeline(args):
     params = {"text_s1": text1_p, "text_s2": text2_p, "vision": vision_p,
               "vae": vae_p, "prior": prior_p, "unet": unet_p,
               "fusion": fusion_p}
+    if getattr(args, "converted_ckpt", None):
+        # full-tree orbax checkpoint from rcdms_tpu.cli.convert
+        restored, meta, _ = restore_checkpoint(args.converted_ckpt,
+                                               {"params": params})
+        if meta.get("kind") != "rcdms_tpu-converted-pipeline":
+            raise ValueError(
+                f"{args.converted_ckpt} is not a convert-CLI checkpoint "
+                f"(metadata kind={meta.get('kind')!r})")
+        params = restored["params"]
     return pipeline, params, dataset, ds_cfg
 
 
