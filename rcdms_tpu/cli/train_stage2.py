@@ -84,6 +84,12 @@ def parse_args(argv=None):
                         "configs/training.yaml schema: unet_additional_"
                         "kwargs / motion_module_kwargs) applied to the "
                         "UNet config")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of training steps "
+                        "[--profile-start, --profile-start + "
+                        "--profile-steps) into this directory")
+    p.add_argument("--profile-start", type=int, default=10)
+    p.add_argument("--profile-steps", type=int, default=3)
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the background batch-prefetch thread")
     p.add_argument("--report-to", default="tensorboard",
@@ -209,6 +215,13 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     timer = StepTimer()
     for step_i in range(start_step, args.max_train_steps):
+        if args.profile_dir is not None:
+            import jax.profiler as _prof
+
+            if step_i == args.profile_start:
+                _prof.start_trace(args.profile_dir)
+            elif step_i == args.profile_start + args.profile_steps:
+                _prof.stop_trace()
         raw = global_batch(mesh, next(batches))
         timer.data_loaded()
         # frozen VAE/CLIP encoders run DP-sharded under GSPMD
