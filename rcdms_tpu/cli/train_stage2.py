@@ -188,7 +188,9 @@ def main(argv=None):
     zero2 = not args.no_zero2
     state = place_state(state, mesh, zero2=zero2)
     step_fn = make_sharded_train_step(trainer.train_step, state, mesh,
-                                      zero2=zero2)
+                                      zero2=zero2,
+                                      loss_fn=trainer.loss_fn,
+                                      grad_sharding="replicated")
     encode = jax.jit(lambda raw, k: encode_batch(
         vae, vae_p, text_enc, text_p, vis_enc, vis_p, raw, k))
 

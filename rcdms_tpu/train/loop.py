@@ -32,18 +32,50 @@ def state_shardings(state: TrainState, mesh: Mesh,
 
 def make_sharded_train_step(train_step: Callable, state: TrainState,
                             mesh: Mesh, zero2: bool = True,
-                            donate: bool = True) -> Callable:
+                            donate: bool = True,
+                            loss_fn: Callable = None,
+                            grad_sharding: str = None) -> Callable:
     """Compile `train_step(state, batch, key) -> (state, loss)` with GSPMD
-    shardings. `state` is only used for its structure."""
+    shardings. `state` is only used for its structure.
+
+    `loss_fn` + `grad_sharding`: when given, the step is rebuilt from the
+    loss with an EXPLICIT sharding constraint on the gradients. Without
+    it, GSPMD propagates the ZeRO-2 optimizer-state shardings backwards
+    through the weight-grad dots and decides to ALL-GATHER activation
+    tensors (audited: 155 GB/chip per full-scale stage-2 step — 10x the
+    gradient volume). `grad_sharding`:
+      * "replicated" — classic DP: partial weight-grads all-reduced
+        (grad-volume bytes), optimizer slices locally
+      * "zero2" — grads constrained to the same per-axis shardings as
+        their Adam moments (ZeRO-2's reduce-scatter pattern, half the
+        all-reduce bytes)"""
     st_sh = state_shardings(state, mesh, zero2)
     b_sh = batch_sharding(mesh)
     r_sh = replicated(mesh)
 
-    def batch_shardings(batch):
-        return jax.tree_util.tree_map(lambda _: b_sh, batch)
+    if loss_fn is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def fn(state, batch, key):
-        return train_step(state, batch, key)
+        from rcdms_tpu.train.sharding import _zero2_spec_for
+
+        if grad_sharding == "zero2":
+            g_sh = jax.tree_util.tree_map(
+                lambda p: NamedSharding(
+                    mesh, _zero2_spec_for(p.shape, mesh.shape["data"])),
+                state.params)
+        else:
+            g_sh = jax.tree_util.tree_map(
+                lambda p: NamedSharding(mesh, P()), state.params)
+
+        def fn(state, batch, key):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
+                                                      key)
+            grads = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, grads, g_sh)
+            return state.apply_gradients(grads), loss
+    else:
+        def fn(state, batch, key):
+            return train_step(state, batch, key)
 
     return jax.jit(
         fn,

@@ -75,7 +75,9 @@ def place(x):
     return jax.make_array_from_callback(x.shape, sharding, local_cb)
 
 sbatch = jax.tree_util.tree_map(place, full)
-step = make_sharded_train_step(trainer.train_step, state, mesh, zero2=True)
+step = make_sharded_train_step(trainer.train_step, state, mesh, zero2=True,
+                               loss_fn=trainer.loss_fn,
+                               grad_sharding="replicated")
 state, loss = step(state, sbatch, jax.random.PRNGKey(1))
 
 # --- REAL input path: per-process LOCAL batches -> global arrays ---------

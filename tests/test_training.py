@@ -113,7 +113,8 @@ def test_stage2_sharded_train_step_zero2():
     sstate = place_state(state, mesh, zero2=True)
     sbatch = shard_batch(mesh, batch)
     step = make_sharded_train_step(trainer.train_step, sstate, mesh,
-                                   zero2=True)
+                                   zero2=True, loss_fn=trainer.loss_fn,
+                                   grad_sharding="replicated")
     sstate2, loss = step(sstate, sbatch, jax.random.PRNGKey(3))
     np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
 
@@ -152,7 +153,8 @@ def test_stage1_sharded_matches_unsharded_params():
     mesh = make_mesh(MeshConfig())
     sstate = place_state(state, mesh, zero2=True)
     step = make_sharded_train_step(trainer.train_step, sstate, mesh,
-                                   donate=False)
+                                   donate=False, loss_fn=trainer.loss_fn,
+                                   grad_sharding="replicated")
     sstate2, loss = step(sstate, shard_batch(mesh, batch),
                          jax.random.PRNGKey(5))
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)

@@ -214,8 +214,103 @@ def frame_pad_waste(frame_ax: int, f: int = 5) -> float:
     return per * frame_ax / f
 
 
+def audit_train_step(args):
+    """Compile the FULL-SCALE stage-2 train step (fp32 params + Adam,
+    ZeRO-2 over an 8-device ('data',) mesh, remat) and audit its
+    collectives — BASELINE config #5's multi-chip half, quantitative.
+    Compile-only: params/opt state stay abstract (ShapeDtypeStructs), so
+    no 14 GiB materializes."""
+    import jax.numpy as jnp
+
+    from rcdms_tpu.configs import (
+        FusionConfig,
+        MeshConfig,
+        OptimizerConfig,
+        StoryUNetConfig,
+        TemporalConfig,
+    )
+    from rcdms_tpu.models.fusion import FusionModule
+    from rcdms_tpu.models.unet3d import StoryUNet
+    from rcdms_tpu.train.loop import make_sharded_train_step
+    from rcdms_tpu.train.optim import make_optimizer
+    from rcdms_tpu.train.sharding import make_mesh
+    from rcdms_tpu.train.stage2 import Stage2Batch, Stage2Trainer
+    from rcdms_tpu.train.train_state import TrainState
+
+    trainer = Stage2Trainer(
+        StoryUNet(StoryUNetConfig(remat=True, temporal=TemporalConfig()),
+                  dtype=jnp.bfloat16),
+        FusionModule(FusionConfig(), dtype=jnp.bfloat16))
+    b, f, hw, t = 8, 5, 64, 91
+
+    def abstract(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+    batch = Stage2Batch(
+        latents=jax.ShapeDtypeStruct((b, f, hw, hw, 4), np.float32),
+        masked_latents=jax.ShapeDtypeStruct((b, f, hw, hw, 4), np.float32),
+        mask_label=jax.ShapeDtypeStruct((b, f, hw, hw, 1), np.float32),
+        image_tokens=jax.ShapeDtypeStruct((b, f, 257, 1664), jnp.bfloat16),
+        image_proj=jax.ShapeDtypeStruct((b, f, 1280), jnp.bfloat16),
+        text_hidden=jax.ShapeDtypeStruct((b, f, t, 768), jnp.bfloat16),
+        frame_known=jax.ShapeDtypeStruct((b, f), bool),
+    )
+    cbatch = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), batch)
+    params_s = jax.eval_shape(lambda k: trainer.init_params(k, cbatch),
+                              jax.random.PRNGKey(0))
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-5, warmup_steps=0,
+                                        grad_clip_norm=1.0))
+    state_s = jax.eval_shape(lambda p: TrainState.create(p, tx), params_s)
+
+    mesh = make_mesh(MeshConfig())
+    results = {}
+    for variant in args.grad_variants.split(","):
+        step = make_sharded_train_step(
+            trainer.train_step, state_s, mesh, zero2=True, donate=False,
+            loss_fn=trainer.loss_fn if variant != "none" else None,
+            grad_sharding=variant if variant != "none" else None)
+        print(f"== train step [{variant}]: mesh {dict(mesh.shape)}, "
+              f"global batch {b}, fp32 params + Adam, ZeRO-2, remat ==",
+              flush=True)
+        compiled = step.lower(state_s, batch,
+                              jax.ShapeDtypeStruct((2,),
+                                                   np.uint32)).compile()
+        hlo = compiled.as_text()
+        if args.dump_hlo:
+            os.makedirs(args.dump_hlo, exist_ok=True)
+            with open(f"{args.dump_hlo}/train_step_{variant}.hlo",
+                      "w") as fh:
+                fh.write(hlo)
+        rows = audit_hlo(hlo, 1)
+        per_kind, ici_bytes, n_coll = summarize(rows, 1)
+        # compute: measured single-chip bf16-state step was 0.505 s at
+        # batch 1 with remat (fp32 master weights add Adam HBM passes)
+        compute_s = 0.505  # per chip, batch 1 each => global batch 8
+        comm_s = ici_bytes / ICI_GBPS_PER_CHIP + n_coll * HOP_LATENCY_S
+        res = {
+            "collectives": per_kind,
+            "n_collectives": n_coll,
+            "ici_bytes_per_chip": ici_bytes,
+            "modeled_v5e8_step_s": round(compute_s + comm_s, 3),
+            "of_which_comm_s": round(comm_s, 3),
+        }
+        results[variant] = res
+        print(json.dumps(res, indent=2), flush=True)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="audit the sharded full-scale TRAIN step instead "
+                         "of the inference sampler")
+    ap.add_argument("--grad-variants", default="none,replicated,zero2",
+                    help="(--train) gradient sharding-constraint variants "
+                         "to audit: none (propagation decides), "
+                         "replicated (pure-DP all-reduce), zero2 "
+                         "(reduce-scatter to the opt-state shardings)")
     ap.add_argument("--variants", default="space4,frame4,f2s2")
     ap.add_argument("--steps", type=int, default=2,
                     help="scan length for the audited program (collectives "
@@ -228,6 +323,10 @@ def main():
                     help="tiny model (validates the parsing machinery; "
                          "collective BYTES are not representative)")
     args = ap.parse_args()
+
+    if args.train:
+        audit_train_step(args)
+        return
 
     from rcdms_tpu.train.sharding import inference_mesh
 
