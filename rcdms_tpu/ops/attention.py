@@ -31,23 +31,36 @@ def get_default_attention_impl() -> str:
     return _DEFAULT_IMPL
 
 
-def configure_for_mesh(mesh) -> None:
-    """Route attention through the XLA path for multi-device runs.
+# True when the program is being built for a >1-device mesh: the nt flash
+# and frame-attention kernels stay on (they carry custom-partitioning
+# rules — q rows stay sharded, K/V are gathered, the kernel runs per
+# shard), but the token-major fallback kernel has no rule and would be
+# all-gathered + replicated by the partitioner, so it is routed to XLA.
+_SPMD_MESH = False
 
-    GSPMD partitions einsum attention properly (batch-dim sharding is
-    communication-free; row-sharded attention gets exact KV gathers), but a
-    pallas_call is an opaque custom call: the partitioner ALL-GATHERS
-    q/k/v and runs the kernel fully replicated on every device (verified:
-    3 all-gathers per attention on an 8-device mesh) — correct results,
-    ~8x wasted compute and ICI traffic. Until the kernels carry
-    custom-partitioning rules, sharded programs use XLA attention; a None
-    or 1-device mesh keeps the (faster) single-chip Pallas path."""
-    if mesh is not None and getattr(mesh, "size", 1) > 1:
-        set_default_attention_impl("xla")
+
+def configure_for_mesh(mesh) -> None:
+    """Configure attention dispatch for a device mesh.
+
+    A bare pallas_call is an opaque custom call: the partitioner
+    ALL-GATHERS q/k/v and runs the kernel fully replicated on every device
+    (verified: 3 all-gathers per attention on an 8-device mesh). The nt
+    flash kernel (ops/flash.py) and the frame-attention kernel
+    (ops/frame_attention.py) therefore carry jax custom-partitioning rules
+    — per-shard lowering, KV gathers only, exactly the einsum path's
+    communication — and stay enabled under a mesh. Only the token-major
+    fallback kernel (rule-less, off the TPU hot path) is diverted to the
+    XLA einsum, which GSPMD partitions exactly."""
+    global _SPMD_MESH
+    _SPMD_MESH = mesh is not None and getattr(mesh, "size", 1) > 1
+
+
+def spmd_mesh_mode() -> bool:
+    return _SPMD_MESH
 
 
 def _use_pallas(q: Array, mask: Optional[Array]) -> bool:
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or _SPMD_MESH:
         return False
     # pallas kernel: self/cross attention, no additive mask, long-ish q
     seq_q, head_dim = q.shape[-2], q.shape[-1]
@@ -79,9 +92,10 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     # masked attention can never go to the flash kernel (it has no mask
-    # support) — even when impl is forced to "pallas"
-    if mask is None and (impl == "pallas"
-                         or (impl == "auto" and _use_pallas(q, mask))):
+    # support) — even when impl is forced to "pallas"; under a >1-device
+    # mesh the rule-less token-major kernel always defers to XLA
+    if mask is None and not _SPMD_MESH and (
+            impl == "pallas" or (impl == "auto" and _use_pallas(q, mask))):
         from rcdms_tpu.ops.flash import flash_attention, kernel_interpret
         return flash_attention(q, k, v, scale=scale,
                                interpret=kernel_interpret())

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 Array = jax.Array
 
@@ -222,19 +224,87 @@ def _flash_nt_bwd(heads, scale, q_block, kv_len, residuals, g):
 flash_attention_nt.defvjp(_flash_nt_fwd, _flash_nt_bwd)
 
 
+def _nt_compute(qt: Array, kt: Array, vt: Array, heads: int,
+                scale: float, q_block: int, kv_len: int) -> Array:
+    """Shape-polymorphic core: runs the Pallas kernel when the (possibly
+    per-shard) shapes satisfy nt_ok, the XLA oracle otherwise. Under SPMD
+    partitioning this is the per-device lowering — q may arrive with only
+    its local token rows (e.g. 'space'-sharded latent rows), K/V always
+    arrive with the full context (the partitioner all-gathers them, exactly
+    the communication the einsum path pays)."""
+    *_, c, sq = qt.shape
+    skv = kt.shape[-1]
+    if nt_ok(sq, skv, heads, c // heads):
+        return _nt_pallas(qt, kt, vt, heads, scale, q_block, kv_len)
+    return _nt_xla_reference(qt, kt, vt, heads, scale, kv_len)
+
+
+def _nt_specs(mesh, arg_shapes):
+    """Sanitized (q, kv) NamedShardings for the SPMD lowering: q keeps its
+    batch/token sharding but the channel axis must be whole per shard; K/V
+    additionally keep all context tokens per shard (kv_len masking indexes
+    the global sequence)."""
+    nd = len(arg_shapes[0].shape)
+    spec = list(arg_shapes[0].sharding.spec)
+    spec += [None] * (nd - len(spec))
+    spec[-2] = None
+    q_s = NamedSharding(mesh, P(*spec))
+    kv = list(spec)
+    kv[-1] = None
+    return q_s, NamedSharding(mesh, P(*kv))
+
+
+def _nt_partition(heads, scale, q_block, kv_len, mesh, arg_shapes,
+                  result_shape):
+    q_s, kv_s = _nt_specs(mesh, arg_shapes)
+
+    def lower_fn(qt, kt, vt):
+        return _nt_compute(qt, kt, vt, heads, scale, q_block, kv_len)
+
+    return mesh, lower_fn, q_s, (q_s, kv_s, kv_s)
+
+
+def _nt_infer(heads, scale, q_block, kv_len, mesh, arg_shapes, result_shape):
+    return _nt_specs(mesh, arg_shapes)[0]
+
+
+def _nt_rule(heads, scale, q_block, kv_len, mesh, value_types, result_types):
+    """Shardy propagation rule: batch dims and q tokens propagate; the
+    channel axis and the context tokens are replicated per shard (factor
+    names ordered by first appearance — Shardy requires sorted indices)."""
+    lead = " ".join(f"l{i}" for i in range(len(value_types[0].shape) - 2))
+    q = f"{lead} c sq".strip()
+    kv = f"{lead} c skv".strip()
+    return (f"{q}, {kv}, {kv} -> {q}",
+            dict(need_replication_factors=("c", "skv")))
+
+
+_nt_spmd = custom_partitioning(_nt_compute, static_argnums=(3, 4, 5, 6))
+_nt_spmd.def_partition(partition=_nt_partition,
+                       infer_sharding_from_operands=_nt_infer,
+                       sharding_rule=_nt_rule)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "q_block",
                                              "kv_len"))
 def _flash_nt_forward(qt: Array, kt: Array, vt: Array, heads: int,
                       scale: float, q_block: int = DEFAULT_Q_BLOCK,
                       kv_len: int | None = None) -> Array:
+    *_, c, sq = qt.shape
+    skv = kt.shape[-1]
+    assert c % heads == 0, (c, heads)
+    assert nt_ok(sq, skv, heads, c // heads), (sq, skv, heads, c // heads)
+    if kv_len is None:
+        kv_len = skv
+    return _nt_spmd(qt, kt, vt, heads, scale, q_block, kv_len)
+
+
+def _nt_pallas(qt: Array, kt: Array, vt: Array, heads: int,
+               scale: float, q_block: int, kv_len: int) -> Array:
     orig_shape = qt.shape
     *lead, c, sq = qt.shape
     skv = kt.shape[-1]
-    assert c % heads == 0, (c, heads)
     dh = c // heads
-    assert nt_ok(sq, skv, heads, dh), (sq, skv, heads, dh)
-    if kv_len is None:
-        kv_len = skv
     B = math.prod(lead) if lead else 1
 
     q_block = min(q_block, _round_up(sq, LANE))

@@ -35,9 +35,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 Array = jax.Array
 
@@ -66,10 +67,19 @@ def _xla_reference(q: Array, k: Array, v: Array, heads: int,
     return jnp.swapaxes(o, -3, -2).reshape(q.shape)
 
 
-def _kernel_bfnc(q_ref, k_ref, v_ref, seg_ref, segt_ref, o_ref, *,
-                 f: int, scale: float):
-    seg = seg_ref[...].astype(q_ref.dtype)   # (c_pad, h)
-    segt = segt_ref[...]                     # (h, c_pad) fp32
+def _kernel_bfnc(q_ref, k_ref, v_ref, o_ref, *,
+                 f: int, scale: float, heads: int, dh: int):
+    # head-segment indicator (c_pad, h): seg[r, h] = 1 iff channel r lives
+    # in head h (zero for pad lanes r >= heads*dh) — built from iota so the
+    # traced fn carries no constants (custom_partitioning requires a
+    # const-free jaxpr); loop-invariant, so Mosaic hoists it
+    c_pad = q_ref.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (c_pad, heads), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c_pad, heads), 1)
+    seg = jnp.where(row // dh == col, 1.0, 0.0).astype(q_ref.dtype)
+    rowt = jax.lax.broadcasted_iota(jnp.int32, (heads, c_pad), 1)
+    colt = jax.lax.broadcasted_iota(jnp.int32, (heads, c_pad), 0)
+    segt = jnp.where(rowt // dh == colt, 1.0, 0.0).astype(jnp.float32)
     for i in range(f):
         q_i = q_ref[0, i] * jnp.asarray(scale, q_ref.dtype)
         s = [jax.lax.dot_general(
@@ -145,9 +155,58 @@ def _pick_block_bfnc(f: int, c_pad: int, itemsize: int) -> int:
     return p
 
 
+def _bfnc_specs(mesh, arg_shapes):
+    """Sanitized NamedSharding for the SPMD lowering: batch rows and tokens
+    may stay sharded (the kernel is elementwise across both — temporal
+    attention at a token needs only that token's f frames), but the frame
+    and channel axes must be whole per shard."""
+    spec = list(arg_shapes[0].sharding.spec)
+    spec += [None] * (4 - len(spec))
+    spec[1] = None
+    spec[3] = None
+    return NamedSharding(mesh, P(*spec))
+
+
+def _bfnc_partition(heads, c_real, scale, block, mesh, arg_shapes,
+                    result_shape):
+    s = _bfnc_specs(mesh, arg_shapes)
+
+    def lower_fn(q, k, v):
+        return _bfnc_pallas(q, k, v, heads, c_real, scale, block)
+
+    return mesh, lower_fn, s, (s, s, s)
+
+
+def _bfnc_infer(heads, c_real, scale, block, mesh, arg_shapes, result_shape):
+    return _bfnc_specs(mesh, arg_shapes)
+
+
+def _bfnc_rule(heads, c_real, scale, block, mesh, value_types, result_types):
+    """Shardy propagation: b and n elementwise; f and c replicated per
+    shard (sharding the 5-frame axis would split the attention context —
+    the comm audit showed frame sharding loses to row sharding anyway)."""
+    return ("b f n c, b f n c, b f n c -> b f n c",
+            dict(need_replication_factors=("f", "c")))
+
+
+_bfnc_spmd = custom_partitioning(
+    lambda q, k, v, heads, c_real, scale, block:
+        _bfnc_pallas(q, k, v, heads, c_real, scale, block),
+    static_argnums=(3, 4, 5, 6))
+_bfnc_spmd.def_partition(partition=_bfnc_partition,
+                         infer_sharding_from_operands=_bfnc_infer,
+                         sharding_rule=_bfnc_rule)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "c_real", "scale",
                                              "block"))
 def _bfnc_forward(q, k, v, heads, c_real, scale=None, block=None):
+    if scale is None:
+        scale = (c_real // heads) ** -0.5
+    return _bfnc_spmd(q, k, v, heads, c_real, scale, block)
+
+
+def _bfnc_pallas(q, k, v, heads, c_real, scale, block):
     from rcdms_tpu.ops.flash import kernel_interpret
 
     b, f, n, c_pad = q.shape
@@ -166,13 +225,9 @@ def _bfnc_forward(q, k, v, heads, c_real, scale=None, block=None):
         padw = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
         q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
 
-    seg = np.zeros((c_pad, heads), np.float32)
-    for h in range(heads):
-        seg[h * dh:(h + 1) * dh, h] = 1.0
-    seg = jnp.asarray(seg)
-
     out = pl.pallas_call(
-        functools.partial(_kernel_bfnc, f=f, scale=scale),
+        functools.partial(_kernel_bfnc, f=f, scale=scale, heads=heads,
+                          dh=dh),
         grid=(b, n_pad // block),
         in_specs=[
             pl.BlockSpec((1, f, block, c_pad), lambda bi, ni: (bi, 0, ni, 0),
@@ -180,10 +235,6 @@ def _bfnc_forward(q, k, v, heads, c_real, scale=None, block=None):
             pl.BlockSpec((1, f, block, c_pad), lambda bi, ni: (bi, 0, ni, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f, block, c_pad), lambda bi, ni: (bi, 0, ni, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, heads), lambda bi, ni: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c_pad), lambda bi, ni: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, f, block, c_pad),
@@ -198,7 +249,7 @@ def _bfnc_forward(q, k, v, heads, c_real, scale=None, block=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=kernel_interpret(),
-    )(q, k, v, seg, seg.T)
+    )(q, k, v)
     if n_pad != n:
         out = out[:, :, :n]
     return out

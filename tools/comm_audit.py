@@ -26,11 +26,11 @@ Hardware assumptions (v5e, public specs; stated, not fetched):
   * single-chip stage-2 p50 = 2.70 s (BASELINE.md round 2), of which the
     UNet scan is ~2.62 s.
 
-Note: on CPU the attention path is the XLA one (the Pallas kernels are
-TPU-only), so attention collectives here reflect the einsum formulation;
-the packed Pallas kernels shard identically over the batch-like
-('cfg','frame') axes but would need explicit gathers for 'space'-sharded
-sequences — one more reason frame sharding is the TPU-native choice.
+By default the audited program uses the XLA attention path (CPU-mesh
+default). Since round 3 the nt flash and frame-attention Pallas kernels
+carry custom-partitioning rules (q rows local, KV gathered — the same
+communication as the einsum formulation); pass --kernels to compile the
+kernel path (interpret mode) and verify its collective volume directly.
 
 Usage:
   python tools/comm_audit.py [--variants space4,frame4,f2s2] [--steps 2]
@@ -322,6 +322,12 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (validates the parsing machinery; "
                          "collective BYTES are not representative)")
+    ap.add_argument("--kernels", action="store_true",
+                    help="compile with the Pallas kernels forced on "
+                         "(interpret mode): audits the custom-partitioned "
+                         "kernel path instead of the XLA-attention path — "
+                         "collective volume should match the einsum "
+                         "formulation (KV gathers only)")
     args = ap.parse_args()
 
     if args.train:
@@ -330,10 +336,21 @@ def main():
 
     from rcdms_tpu.train.sharding import inference_mesh
 
+    if args.kernels:
+        from rcdms_tpu.ops import flash
+        from rcdms_tpu.ops.attention import set_default_attention_impl
+
+        flash.set_kernel_interpret(True)
+        set_default_attention_impl("pallas")
+
     results = {}
     for name in args.variants.split(","):
         spec = VARIANTS[name]
         mesh = inference_mesh(jax.devices(), frame=spec["frame"])
+        if args.kernels:
+            from rcdms_tpu.ops.attention import configure_for_mesh
+
+            configure_for_mesh(mesh)
         print(f"== {name}: mesh {dict(mesh.shape)} ==", flush=True)
         sampler, unet_p, fusion_p, cond = build_sampler(mesh, args.steps,
                                                         tiny=args.tiny)
