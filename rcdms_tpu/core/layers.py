@@ -136,6 +136,46 @@ class LayerNorm(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class _DenseParams(nn.Module):
+    """Declares {kernel, bias} exactly as nn.Dense would (same names,
+    shapes, inits) WITHOUT computing the matmul — lets a fused op consume
+    the params of two Dense layers while the checkpoint tree stays
+    byte-identical to the unfused path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+def _use_fused_geglu(n: int, c: int, inner: int) -> bool:
+    """Route the geglu FF through the fused Pallas kernel (ops/geglu.py):
+    the (tokens, 2*inner) intermediate stays in VMEM instead of
+    round-tripping HBM between the two Dense matmuls. Same dispatch state
+    as attention (impl 'xla' disables; 'pallas' forces; 'auto' = TPU). The
+    kernel carries an SPMD partitioning rule, so it stays on under a
+    mesh."""
+    from rcdms_tpu.ops.attention import get_default_attention_impl
+
+    import os
+    if os.environ.get("RCDMS_DISABLE_FUSED_GEGLU"):
+        return False
+    impl = get_default_attention_impl()
+    if impl == "xla":
+        return False
+    if impl != "pallas" and jax.default_backend() != "tpu":
+        return False
+    from rcdms_tpu.ops.geglu import fits_kernel
+
+    return fits_kernel(n, c, inner)
+
+
 class FeedForward(nn.Module):
     """diffusers `FeedForward` equivalent. `activation`: 'geglu' (UNet &
     temporal blocks) or 'gelu' (prior blocks). Exact (erf) gelu for parity
@@ -149,6 +189,13 @@ class FeedForward(nn.Module):
     def __call__(self, x: Array) -> Array:
         dim = x.shape[-1]
         inner = dim * self.mult
+        if (self.activation == "geglu"
+                and _use_fused_geglu(x.shape[-2], dim, inner)):
+            from rcdms_tpu.ops.geglu import geglu_ff
+
+            w1, b1 = _DenseParams(dim, inner * 2, name="proj_in")()
+            w2, b2 = _DenseParams(inner, dim, name="proj_out")()
+            return geglu_ff(x.astype(self.dtype), w1, b1, w2, b2)
         if self.activation == "geglu":
             h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gate = jnp.split(h, 2, axis=-1)
@@ -318,9 +365,79 @@ def unfold_frames(x: Array, num_frames: int) -> Array:
     return x.reshape((bf // num_frames, num_frames) + x.shape[1:])
 
 
+class _ConvParams(nn.Module):
+    """Declares {kernel, bias} exactly as nn.Conv would (same names,
+    shapes, inits) without computing — the taps9 formulation consumes them
+    while the checkpoint tree stays identical to the nn.Conv path."""
+
+    kernel_size: int
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.in_features,
+             self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+def _use_taps9() -> bool:
+    """Same dispatch state as the Pallas kernels: impl 'xla' disables,
+    'pallas' forces (the formulation is plain XLA, so it also runs on CPU
+    for tests), 'auto' = TPU only.
+
+    SINGLE-CHIP ONLY: under a >1-device 'space'-sharded mesh each of the 9
+    shifted slices pays its own halo exchange — the comm audit measured
+    8.7 GB/story of collective-permutes vs 0.9 GB for the native conv's
+    single halo, which outweighs the ~1.5x per-chip matmul win. Sharded
+    programs keep XLA's conv emitter."""
+    from rcdms_tpu.ops.attention import (
+        get_default_attention_impl,
+        spmd_mesh_mode,
+    )
+
+    import os
+    if os.environ.get("RCDMS_DISABLE_TAPS9") or spmd_mesh_mode():
+        return False
+    impl = get_default_attention_impl()
+    if impl == "xla":
+        return False
+    return impl == "pallas" or jax.default_backend() == "tpu"
+
+
+def _taps9_conv(x: Array, kernel: Array, bias: Array,
+                dtype: jnp.dtype) -> Array:
+    """3x3 SAME conv as the sum of 9 shifted (tokens, Cin) @ (Cin, Cout)
+    matmuls, fp32 accumulation. On a v5e this runs at ~180 TF/s vs
+    ~117 TF/s for XLA's native conv lowering at SD1.5 level-1/2 shapes
+    (tools/conv_variants_study.py, 2026-08-17) — XLA's conv emitter loses
+    ~35% that its own dot emitter does not, provided Cin is lane-aligned
+    (Cin % 128 == 0; at level 0's Cin=320 the pad makes the dots LOSE and
+    the native conv is kept)."""
+    b, f, h, w, c = x.shape
+    kernel = kernel.astype(dtype)
+    xp = jnp.pad(x.astype(dtype),
+                 ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.dynamic_slice(
+                xp, (0, 0, dy, dx, 0), (b, f, h, w, c))
+            t = jnp.einsum("bfhwc,cd->bfhwd", xs, kernel[dy, dx],
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    return (acc + bias.astype(jnp.float32)).astype(dtype)
+
+
 class FrameConv(nn.Module):
     """2D conv applied per frame on (b, f, h, w, c) — the TPU-native
-    equivalent of `InflatedConv3d` (`resnet.py:10-18`)."""
+    equivalent of `InflatedConv3d` (`resnet.py:10-18`). 3x3 stride-1 convs
+    with lane-aligned input channels route through the taps9 dot
+    formulation (see `_taps9_conv`); everything else uses the native conv."""
 
     features: int
     kernel_size: int = 3
@@ -331,6 +448,11 @@ class FrameConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         f = x.shape[1]
+        if (self.kernel_size == 3 and self.stride == 1 and self.padding == 1
+                and x.shape[-1] % 128 == 0 and _use_taps9()):
+            kernel, bias = _ConvParams(3, x.shape[-1], self.features,
+                                       name="conv")()
+            return _taps9_conv(x, kernel, bias, self.dtype)
         y = nn.Conv(self.features,
                     kernel_size=(self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride),

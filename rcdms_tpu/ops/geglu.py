@@ -1,0 +1,236 @@
+"""Fused GEGLU feed-forward Pallas kernel.
+
+The transformer FF (reference diffusers `FeedForward`, used by
+`src/models/attention.py:368-526` and `motion_module.py:185-246`) is two
+chained matmuls with a GEGLU between:
+
+    y = (gelu(x @ W1g + b1g) * (x @ W1h + b1h)) @ W2 + b2
+
+XLA cannot fuse two dots, so the (tokens, 4c) intermediate round-trips HBM
+twice per FF — at SD1.5 level 0 that is a (20480, 2560) bf16 tensor
+(~105 MB) written and re-read at memory speed ~20x per UNet call
+(BASELINE.md round 3: residual/FF traffic ~247 ms of the 2 491 ms story
+step). This kernel tiles tokens x inner: each grid cell computes a
+(blk_n, blk_i) slice of the intermediate IN VMEM, applies the exact-erf
+GEGLU, and accumulates its W2 contribution into an fp32 scratch — the
+intermediate never touches HBM.
+
+Differentiable: forward runs the kernel, backward recomputes through the
+XLA reference (remat-style, like ops/flash.py). Under SPMD the op carries a
+custom-partitioning rule: token rows stay sharded (the FF is elementwise
+across tokens), weights are replicated, zero communication.
+
+The XLA reference is the correctness oracle; tests run the kernel in
+interpret mode on CPU against it."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _gelu_exact(x: Array) -> Array:
+    """Exact (erf) gelu in fp32 — parity with torch's default, same as
+    core/layers.FeedForward."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _gelu_kernel(x: Array) -> Array:
+    """Erf-gelu inside the kernel. Mosaic has no erf/erfc lowering, so erf
+    is computed with the Abramowitz & Stegun 7.1.26 rational approximation
+    (|err| <= 1.5e-7 — far below bf16 resolution and below the fp32 test
+    tolerance) built from exp, which the VPU supports."""
+    z = x * (2.0 ** -0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.sign(z) * erf_abs
+    return 0.5 * x * (1.0 + erf)
+
+
+def _xla_reference(x: Array, w1: Array, b1: Array, w2: Array,
+                   b2: Array) -> Array:
+    """Unfused oracle (same math as core/layers.FeedForward's geglu branch,
+    differentiable) — backward pass + CPU/odd-shape fallback."""
+    dtype = x.dtype
+    h = (jnp.dot(x, w1.astype(dtype)) + b1.astype(dtype))
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * _gelu_exact(gate.astype(jnp.float32)).astype(dtype)
+    return jnp.dot(h, w2.astype(dtype)) + b2.astype(dtype)
+
+
+def _pick_block(n: int, c: int, inner: int, itemsize: int):
+    """(blk_n, blk_i) fitting the VMEM budget, or None if the shapes do not
+    tile cleanly. VMEM: double-buffered x/w1h/w1g/w2 tiles + fp32 h/g
+    temporaries + the fp32 scratch accumulator."""
+    for blk_n in (512, 256, 128, 64):
+        if n % blk_n:
+            continue
+        for blk_i in (1280, 1024, 640, 512, 320, 256, 128):
+            if inner % blk_i:
+                continue
+            tiles = (blk_n * c + 3 * c * blk_i) * itemsize * 2
+            temps = 3 * blk_n * blk_i * 4 + blk_n * c * 4
+            if tiles + temps <= VMEM_BUDGET:
+                return blk_n, blk_i
+    return None
+
+
+def fits_kernel(n: int, c: int, inner: int, itemsize: int = 2) -> bool:
+    return n >= 128 and _pick_block(n, c, inner, itemsize) is not None
+
+
+def _ff_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
+               o_ref, acc_ref, *, n_ib: int):
+    ib = pl.program_id(2)
+    x = x_ref[0]                                    # (blk_n, c)
+    h = jax.lax.dot_general(x, w1h_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    g = jax.lax.dot_general(x, w1g_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1h_ref[...].astype(jnp.float32)
+    g = g + b1g_ref[...].astype(jnp.float32)
+    a = (h * _gelu_kernel(g)).astype(x.dtype)       # (blk_n, blk_i)
+
+    @pl.when(ib == 0)
+    def _init():
+        acc_ref[...] = jnp.broadcast_to(b2_ref[...].astype(jnp.float32),
+                                        acc_ref.shape)
+
+    acc_ref[...] += jax.lax.dot_general(
+        a, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ib == n_ib - 1)
+    def _flush():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _ff_pallas(x: Array, w1: Array, b1: Array, w2: Array,
+               b2: Array) -> Array:
+    from rcdms_tpu.ops.flash import kernel_interpret
+
+    *lead, n, c = x.shape
+    inner = w2.shape[0]
+    blocks = _pick_block(n, c, inner, x.dtype.itemsize)
+    if blocks is None:
+        return _xla_reference(x, w1, b1, w2, b2)
+    blk_n, blk_i = blocks
+    n_ib = inner // blk_i
+    B = math.prod(lead) if lead else 1
+    xf = x.reshape(B, n, c)
+    dtype = x.dtype
+    w1 = w1.astype(dtype)
+    w2 = w2.astype(dtype)
+    b1 = b1.astype(dtype).reshape(1, 2 * inner)
+    b2 = b2.astype(dtype).reshape(1, c)
+
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel, n_ib=n_ib),
+        grid=(B, n // blk_n, n_ib),
+        in_specs=[
+            pl.BlockSpec((1, blk_n, c), lambda b, ni, ib: (b, ni, 0),
+                         memory_space=pltpu.VMEM),
+            # W1's h columns [0, inner) and gate columns [inner, 2*inner)
+            # — the same array passed twice with offset index maps
+            pl.BlockSpec((c, blk_i), lambda b, ni, ib: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, blk_i),
+                         lambda b, ni, ib, n_ib=n_ib: (0, n_ib + ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_i), lambda b, ni, ib: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_i),
+                         lambda b, ni, ib, n_ib=n_ib: (0, n_ib + ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_i, c), lambda b, ni, ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, ni, ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_n, c), lambda b, ni, ib: (b, ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, c), dtype),
+        scratch_shapes=[pltpu.VMEM((blk_n, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=2 * VMEM_BUDGET),
+        interpret=kernel_interpret(),
+    )(xf, w1, w1, b1, b1, w2, b2)
+    return out.reshape(x.shape)
+
+
+def _ff_specs(mesh, arg_shapes):
+    """x keeps its leading/token sharding (the FF is elementwise across
+    tokens) but the channel axis must be whole; weights are replicated."""
+    nd = len(arg_shapes[0].shape)
+    spec = list(arg_shapes[0].sharding.spec)
+    spec += [None] * (nd - len(spec))
+    spec[-1] = None
+    x_s = NamedSharding(mesh, P(*spec))
+    r = NamedSharding(mesh, P())
+    return x_s, r
+
+
+def _ff_partition(mesh, arg_shapes, result_shape):
+    x_s, r = _ff_specs(mesh, arg_shapes)
+
+    def lower_fn(x, w1, b1, w2, b2):
+        return _ff_pallas(x, w1, b1, w2, b2)
+
+    return mesh, lower_fn, x_s, (x_s, r, r, r, r)
+
+
+def _ff_infer(mesh, arg_shapes, result_shape):
+    return _ff_specs(mesh, arg_shapes)[0]
+
+
+def _ff_rule(mesh, value_types, result_types):
+    """Shardy propagation: leading/token dims propagate; channel and all
+    weight dims are replicated per shard."""
+    lead = " ".join(f"l{i}" for i in range(len(value_types[0].shape) - 2))
+    x = f"{lead} n c".strip()
+    return (f"{x}, c k, k, i c, c -> {x}",
+            dict(need_replication_factors=("c", "k", "i")))
+
+
+_ff_spmd = custom_partitioning(_ff_pallas)
+_ff_spmd.def_partition(partition=_ff_partition,
+                       infer_sharding_from_operands=_ff_infer,
+                       sharding_rule=_ff_rule)
+
+
+@jax.custom_vjp
+def geglu_ff(x: Array, w1: Array, b1: Array, w2: Array, b2: Array) -> Array:
+    """Fused y = (gelu(x@W1[:, i:]) * (x@W1[:, :i])) @ W2 + biases.
+
+    x: (..., n, c); w1: (c, 2i); b1: (2i,); w2: (i, c); b2: (c,).
+    Forward runs the Pallas kernel (intermediate stays in VMEM); backward
+    recomputes through the XLA reference."""
+    return _ff_spmd(x, w1, b1, w2, b2)
+
+
+def _ff_fwd(x, w1, b1, w2, b2):
+    return _ff_spmd(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _ff_bwd(residuals, g):
+    x, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(_xla_reference, x, w1, b1, w2, b2)
+    return vjp(g.astype(x.dtype))
+
+
+geglu_ff.defvjp(_ff_fwd, _ff_bwd)

@@ -23,7 +23,7 @@ Hardware assumptions (v5e, public specs; stated, not fetched):
     torus => ~90 GB/s usable per-chip for ring collectives on one axis
     (conservative; marketing aggregate is 1600 Gbps/chip).
   * per-collective launch+hop latency ~3 us.
-  * single-chip stage-2 p50 = 2.70 s (BASELINE.md round 2), of which the
+  * single-chip stage-2 p50 = 2.235 s (BASELINE.md round 3), of which the
     UNet scan is ~2.62 s.
 
 By default the audited program uses the XLA attention path (CPU-mesh
@@ -58,7 +58,7 @@ import numpy as np  # noqa: E402
 # ---- hardware model -------------------------------------------------------
 ICI_GBPS_PER_CHIP = 90e9      # usable one-axis ring bandwidth, bytes/s
 HOP_LATENCY_S = 3e-6          # per collective launch + hop
-SINGLE_CHIP_P50_S = 2.70      # measured round-2 stage-2 story (BASELINE.md)
+SINGLE_CHIP_P50_S = 2.235     # measured round-3 stage-2 story (BASELINE.md)
 N_DEV = 8
 
 DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,

@@ -21,8 +21,10 @@ be reformulated as matmuls whose pads are smaller than the conv's:
   matmul_*     the bare equivalent matmuls without shift/materialize cost
                (speed-of-light anchors for the formulations).
 
-Timing: chained-dispatch slope with a sum consumer (a sliced consumer lets
-XLA DCE the dot — see mxu_pad_study.py). Run on the real chip:
+Timing: in-jit fori_loop chain slope (difference of long and short chains
+inside ONE compiled program — per-dispatch tunnel overhead on this box is
+~1.5 ms and swamps per-call timing; see tools/conv_study.py). Run on the
+real chip:
     python tools/conv_variants_study.py [--level 0|1|2]
 """
 
@@ -37,6 +39,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,19 +51,42 @@ import numpy as np
 LEVELS = {0: (10, 64, 64, 320), 1: (10, 32, 32, 640), 2: (10, 16, 16, 1280)}
 
 
-def timed(fn, *args, repeats=30, warmup=5):
-    """Median per-call seconds via chained dispatch + final fetch."""
-    fn = jax.jit(fn)
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out = fn(*args)
-    float(jnp.sum(out))  # drain the pipeline
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / repeats
+def timed(fn, x, w, n1=24, n2=104):
+    """Per-call seconds via in-jit chain slope: run the op n times
+    back-to-back inside one program, time n1 and n2, and take the slope.
+
+    The feedback must be ELEMENTWISE, not a scalar: with `a * scalar(y)`
+    XLA's algebraic simplifier hoists the scalar through the linear op
+    (dot(a*s, w) == s*dot(a, w)), the dot becomes loop-invariant, and the
+    'measurement' reports thousands of TF/s. Adding y (flattened, sliced
+    to a's size) into a defeats hoisting; the add costs one extra
+    read+write of a per step — identical across variants.
+
+    Chains must be LONG (n1=24, n2=104): the constant term (dispatch +
+    fetch through the axon tunnel) is ~35 ms, and a 4->24 slope's noise
+    floor produced a 'measurement' of 287 TF/s for an op that runs at
+    ~100 (verified by 4/24/54/104 linearity sweep, 2026-08-17)."""
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(t, w, n):
+        def body(i, a):
+            y = fn(a, w).astype(a.dtype) * jnp.asarray(1e-20, a.dtype)
+            flat_a, flat_y = a.reshape(-1), y.reshape(-1)
+            m = min(flat_a.shape[0], flat_y.shape[0])
+            return flat_a.at[:m].add(flat_y[:m]).reshape(a.shape)
+
+        return jax.lax.fori_loop(0, n, body, t)
+
+    def run(n):
+        chain(x, w, n)[(0,) * x.ndim].block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = chain(x, w, n)
+            _ = np.asarray(r[(0,) * r.ndim])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(n2) - run(n1)) / (n2 - n1)
 
 
 def conv_flops(b, h, w, cin, cout):
@@ -91,7 +121,9 @@ def rows3_nhwc(x, w):
         [jax.lax.dynamic_slice(xp, (0, dy, 0, 0), (b, h, ww, c))
          for dy in range(3)], axis=-1)                    # (b, h, w, 3c)
     rows = jnp.pad(rows, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    w3 = w.reshape(3, 3 * c, cout)                        # (dx, 3c, cout)
+    # rows channel blocks are dy-major, so the per-dx weight must concat
+    # over dy: w3[dx] = [w[0,dx]; w[1,dx]; w[2,dx]]
+    w3 = jnp.transpose(w, (1, 0, 2, 3)).reshape(3, 3 * c, cout)
     acc = jnp.zeros((b, h, ww, cout), jnp.float32)
     for dx in range(3):
         xs = jax.lax.dynamic_slice(rows, (0, 0, dx, 0), (b, h, ww, 3 * c))
@@ -131,7 +163,6 @@ def taps9_cm(xt, w):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--level", type=int, default=0, choices=[0, 1, 2])
-    ap.add_argument("--repeats", type=int, default=30)
     args = ap.parse_args()
 
     b, h, w_, c = LEVELS[args.level]
@@ -157,7 +188,7 @@ def main():
         if name == "taps9_cm":
             out = np.transpose(out, (0, 2, 3, 1))
         err = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)
-        t = timed(fn, inp, w, repeats=args.repeats)
+        t = timed(fn, inp, w)
         rows.append((name, t, fl / t / 1e12, err))
         print(f"  {name:<14} {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} TF/s  "
               f"rel-err {err:.2e}", flush=True)
@@ -166,7 +197,7 @@ def main():
     tok = b * h * w_
     a = jnp.asarray(rng.standard_normal((tok, 9 * c)), jnp.bfloat16)
     wb = jnp.asarray(rng.standard_normal((9 * c, cout)), jnp.bfloat16)
-    t = timed(lambda p, q: p @ q, a, wb, repeats=args.repeats)
+    t = timed(lambda p, q: p @ q, a, wb)
     print(f"  {'matmul_im2col':<14} {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} TF/s"
           f"  (no gather cost)")
     at = jnp.asarray(rng.standard_normal((cout, c)), jnp.bfloat16)
@@ -174,12 +205,14 @@ def main():
 
     def nine_cm(wm, xm):
         acc = jnp.zeros((b, cout, h * w_), jnp.float32)
-        for _ in range(9):
-            acc += jnp.einsum("dc,bcn->bdn", wm, xm,
+        for i in range(9):
+            # roll makes each tap's dot distinct (9 identical einsums CSE
+            # into one and the anchor reads 9x too fast)
+            acc += jnp.einsum("dc,bcn->bdn", jnp.roll(wm, i, axis=0), xm,
                               preferred_element_type=jnp.float32)
         return acc
 
-    t = timed(nine_cm, at, xb, repeats=args.repeats)
+    t = timed(nine_cm, at, xb)
     print(f"  {'matmul_taps_cm':<14} {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} TF/s"
           f"  (no shift cost)")
 
