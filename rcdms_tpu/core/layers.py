@@ -416,8 +416,9 @@ def _taps9_conv(x: Array, kernel: Array, bias: Array,
     ~117 TF/s for XLA's native conv lowering at SD1.5 level-1/2 shapes
     (tools/conv_variants_study.py, 2026-08-17) — XLA's conv emitter loses
     ~35% that its own dot emitter does not, provided Cin is lane-aligned
-    (Cin % 128 == 0; at level 0's Cin=320 the pad makes the dots LOSE and
-    the native conv is kept)."""
+    (Cin % 64 == 0 and Cin >= 640 — measured end to end: the 960-channel
+    up-block concat convs win 2x despite the 6.7% K pad, while level 0's
+    Cin=320 20% pad makes the dots LOSE and keeps the native conv)."""
     b, f, h, w, c = x.shape
     kernel = kernel.astype(dtype)
     xp = jnp.pad(x.astype(dtype),
@@ -436,7 +437,7 @@ def _taps9_conv(x: Array, kernel: Array, bias: Array,
 class FrameConv(nn.Module):
     """2D conv applied per frame on (b, f, h, w, c) — the TPU-native
     equivalent of `InflatedConv3d` (`resnet.py:10-18`). 3x3 stride-1 convs
-    with lane-aligned input channels route through the taps9 dot
+    with Cin >= 640 (Cin % 64 == 0) route through the taps9 dot
     formulation (see `_taps9_conv`); everything else uses the native conv."""
 
     features: int
@@ -449,7 +450,8 @@ class FrameConv(nn.Module):
     def __call__(self, x: Array) -> Array:
         f = x.shape[1]
         if (self.kernel_size == 3 and self.stride == 1 and self.padding == 1
-                and x.shape[-1] % 128 == 0 and _use_taps9()):
+                and x.shape[-1] % 64 == 0 and x.shape[-1] >= 640
+                and _use_taps9()):
             kernel, bias = _ConvParams(3, x.shape[-1], self.features,
                                        name="conv")()
             return _taps9_conv(x, kernel, bias, self.dtype)

@@ -1,8 +1,8 @@
 """FrameConv taps9 dot formulation vs the native conv (core/layers.py).
 
-3x3 stride-1 SAME convs with lane-aligned Cin run as the sum of 9 shifted
-matmuls on TPU (~1.5x XLA's conv emitter at SD1.5 level-1/2 shapes,
-tools/conv_variants_study.py); the param tree stays identical to nn.Conv so
+3x3 stride-1 SAME convs with Cin >= 640 (Cin % 64 == 0) run as the sum of
+9 shifted matmuls on TPU (~1.5-2x XLA's conv emitter at SD1.5 level-1/2 and
+up-block concat shapes, tools/conv_variants_study.py + end-to-end A/B); the param tree stays identical to nn.Conv so
 checkpoints/converters are unaffected. Reference: `InflatedConv3d`,
 `/root/reference/src/models/resnet.py:10-18`."""
 
@@ -23,7 +23,7 @@ def _reset_impl():
         set_default_attention_impl("auto")
 
 
-@pytest.mark.parametrize("cin,cout", [(128, 128), (128, 64), (256, 128)])
+@pytest.mark.parametrize("cin,cout", [(640, 320), (640, 640), (704, 128)])
 def test_taps9_matches_native_conv(cin, cout):
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((1, 2, 8, 8, cin)),
@@ -52,9 +52,10 @@ def test_unaligned_or_strided_keep_native():
     use the native path — outputs identical across impl settings."""
     rng = np.random.default_rng(1)
     for kwargs, shape in [
-        (dict(features=64), (1, 2, 8, 8, 96)),           # cin % 128 != 0
-        (dict(features=128, stride=2), (1, 2, 8, 8, 128)),
-        (dict(features=128, kernel_size=1, padding=0), (1, 2, 8, 8, 128)),
+        (dict(features=64), (1, 2, 8, 8, 96)),            # cin % 64 != 0
+        (dict(features=64), (1, 2, 8, 8, 320)),           # cin < 640 (L0)
+        (dict(features=128, stride=2), (1, 2, 8, 8, 640)),
+        (dict(features=128, kernel_size=1, padding=0), (1, 2, 8, 8, 640)),
     ]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         conv = FrameConv(**kwargs)
@@ -69,7 +70,7 @@ def test_unaligned_or_strided_keep_native():
 
 def test_taps9_gradients():
     x = jnp.asarray(
-        np.random.default_rng(2).standard_normal((1, 1, 8, 8, 128)),
+        np.random.default_rng(2).standard_normal((1, 1, 8, 8, 640)),
         jnp.float32)
     conv = FrameConv(128)
     set_default_attention_impl("xla")
