@@ -89,3 +89,21 @@ def test_taps9_gradients():
                     jax.tree_util.tree_leaves(g_t9)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_taps9_disabled_under_mesh():
+    """Under a >1-device mesh taps9 must yield to the native conv (its 9
+    shifted slices each pay a halo exchange — comm audit measured 8.7 GB
+    vs 0.9 GB of collective-permutes per story)."""
+    from rcdms_tpu.core.layers import _use_taps9
+    from rcdms_tpu.ops.attention import configure_for_mesh
+    from rcdms_tpu.train.sharding import inference_mesh
+
+    set_default_attention_impl("pallas")
+    assert _use_taps9()
+    configure_for_mesh(inference_mesh(jax.devices()))
+    try:
+        assert not _use_taps9()
+    finally:
+        configure_for_mesh(None)
+    assert _use_taps9()
