@@ -277,3 +277,58 @@ def dataset_from_args(args) -> DatasetConfig:
     return DatasetConfig(name=args.dataset, h5_path=args.h5_path,
                          image_size=args.image_size,
                          sr_dir=getattr(args, "sr_dir", None))
+
+
+def build_story_inputs(captions, reference_images, negative_prompt,
+                       dataset, ds_cfg):
+    """Assemble a batch-1 StoryInputs from raw user inputs.
+
+    captions: list of num_frames strings; reference_images: 0..num_frames
+    HxWx3 uint8 arrays forming the known-frame prefix (the reference
+    harness's 'visualization'/'continue' modes generalized to any prefix
+    length — `stage1_batchtest_rcdms_model.py:164-180`). Shared by the
+    generate and serve CLIs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rcdms_tpu.data.protocol import (
+        black_image,
+        clip_preprocess,
+        pixel_preprocess,
+        white_image,
+    )
+    from rcdms_tpu.sample.pipeline import StoryInputs
+
+    f = ds_cfg.num_frames
+    if len(captions) != f:
+        raise ValueError(f"need exactly {f} captions, got {len(captions)}")
+    if len(reference_images) > f:
+        raise ValueError(f"at most {f} reference frames, got "
+                         f"{len(reference_images)}")
+    size, csize = ds_cfg.image_size, ds_cfg.clip_size
+    known = len(reference_images)
+
+    black_px = pixel_preprocess(black_image(size), size)
+    black_cl = clip_preprocess(black_image(size), csize)
+    white_cl = clip_preprocess(white_image(size), csize)
+    source_px = np.stack(
+        [pixel_preprocess(reference_images[i], size) if i < known
+         else black_px for i in range(f)])
+    source_cl = np.stack(
+        [clip_preprocess(reference_images[i], csize) if i < known
+         else black_cl for i in range(f)])
+    mask_cl = np.stack([white_cl if i < known else black_cl
+                        for i in range(f)])
+
+    toks = dataset.tokenizer([c.lower() for c in captions])
+    utoks = dataset.tokenizer([negative_prompt] * f)
+    return StoryInputs(
+        tokens_s1=jnp.asarray(toks["input_ids"])[None],
+        tokens_s1_u=jnp.asarray(utoks["input_ids"])[None],
+        tokens_s2=jnp.asarray(toks["input_ids"])[None],
+        tokens_s2_u=jnp.asarray(utoks["input_ids"])[None],
+        source_clip=jnp.asarray(source_cl)[None],
+        mask_clip=jnp.asarray(mask_cl)[None],
+        source_pixels=jnp.asarray(source_px)[None],
+        frame_known=jnp.asarray(np.arange(f) < known)[None],
+    )

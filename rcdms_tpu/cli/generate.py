@@ -18,19 +18,11 @@ from __future__ import annotations
 import argparse
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from rcdms_tpu.cli.evaluate import build_pipeline
-from rcdms_tpu.data.protocol import (
-    StoryTokenizer,
-    black_image,
-    clip_preprocess,
-    pixel_preprocess,
-    white_image,
-)
+from rcdms_tpu.cli.common import build_story_inputs
 from rcdms_tpu.sample.eval import save_story_grid
-from rcdms_tpu.sample.pipeline import StoryInputs
 
 
 def parse_args(argv=None):
@@ -68,42 +60,18 @@ def main(argv=None):
 
     pipeline, params, dataset, ds_cfg = build_pipeline(ev)
 
-    size, csize = ds_cfg.image_size, ds_cfg.clip_size
     frames = []
     for path in args.reference:
         from PIL import Image
 
         frames.append(np.asarray(Image.open(path).convert("RGB")))
-    known = len(frames)
 
-    black_px = pixel_preprocess(black_image(size), size)
-    black_cl = clip_preprocess(black_image(size), csize)
-    white_cl = clip_preprocess(white_image(size), csize)
-    source_px = np.stack([pixel_preprocess(frames[i], size) if i < known
-                          else black_px for i in range(f)])
-    source_cl = np.stack([clip_preprocess(frames[i], csize) if i < known
-                          else black_cl for i in range(f)])
-    mask_cl = np.stack([white_cl if i < known else black_cl
-                        for i in range(f)])
-
-    tok: StoryTokenizer = dataset.tokenizer
-    toks = tok([c.lower() for c in captions])
-    utoks = tok([args.negative_prompt] * f)
-
-    inputs = StoryInputs(
-        tokens_s1=jnp.asarray(toks["input_ids"])[None],
-        tokens_s1_u=jnp.asarray(utoks["input_ids"])[None],
-        tokens_s2=jnp.asarray(toks["input_ids"])[None],
-        tokens_s2_u=jnp.asarray(utoks["input_ids"])[None],
-        source_clip=jnp.asarray(source_cl)[None],
-        mask_clip=jnp.asarray(mask_cl)[None],
-        source_pixels=jnp.asarray(source_px)[None],
-        frame_known=jnp.asarray(np.arange(f) < known)[None],
-    )
+    inputs = build_story_inputs(captions, frames, args.negative_prompt,
+                                dataset, ds_cfg)
     key = jax.random.PRNGKey(ev.seed)
     images, embeds = jax.jit(pipeline.generate)(params, inputs, key)
     save_story_grid(args.out, np.asarray(images[0]))
-    print(f"wrote {args.out} ({f} frames, {known} known, "
+    print(f"wrote {args.out} ({f} frames, {len(frames)} known, "
           f"{ev.num_inference_steps} steps, cfg {ev.guidance_scale})")
 
 
