@@ -29,14 +29,17 @@ import numpy as np
 CEILING = 175e12
 
 
-def slope_time(fn, x, w, n1=4, n2=24):
+def slope_time(fn, x, w, n1=24, n2=104):
+    """ELEMENTWISE feedback + long chains (see conv_variants_study.py:
+    scalar feedback lets XLA hoist linear ops out of the loop, and short
+    slopes sit inside the ~35 ms dispatch constant's noise)."""
     @functools.partial(jax.jit, static_argnames=("n",))
     def chain(t, w, n):
         def body(i, a):
-            y = fn(a, w)
-            s = (jnp.sum(y.astype(jnp.float32)) * 1e-20 + 1.0).astype(
-                a.dtype)
-            return a * s
+            y = fn(a, w).astype(a.dtype) * jnp.asarray(1e-20, a.dtype)
+            flat_a, flat_y = a.reshape(-1), y.reshape(-1)
+            m = min(flat_a.shape[0], flat_y.shape[0])
+            return flat_a.at[:m].add(flat_y[:m]).reshape(a.shape)
 
         return jax.lax.fori_loop(0, n, body, t)
 
