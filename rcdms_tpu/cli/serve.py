@@ -208,7 +208,9 @@ def make_handler(server: StoryServer):
                 inputs = build_story_inputs(
                     captions, refs, body.get("negative_prompt", ""),
                     server.dataset, server.ds_cfg)
-            except (KeyError, ValueError, TypeError) as e:
+            except (KeyError, ValueError, TypeError, OSError) as e:
+                # OSError covers PIL.UnidentifiedImageError (valid base64
+                # that is not a decodable image)
                 return self._reply(400, {"error": str(e)})
             t0 = time.monotonic()
             req = server.submit(inputs, seed)

@@ -38,7 +38,12 @@ from rcdms_tpu.train.sharding import (
 from rcdms_tpu.train.stage2 import Stage2Trainer, encode_batch
 from rcdms_tpu.train.train_state import TrainState
 from rcdms_tpu.data.prefetch import PrefetchIterator
-from rcdms_tpu.utils.logging import MetricLogger, StepTimer, setup_logging
+from rcdms_tpu.utils.logging import (
+    MetricLogger,
+    ProfileWindow,
+    StepTimer,
+    setup_logging,
+)
 from rcdms_tpu.utils.preemption import PreemptionGuard
 
 
@@ -129,9 +134,13 @@ def main(argv=None):
     else:
         from rcdms_tpu.data.datasets import StoryH5Dataset
 
+        from rcdms_tpu.data.prefetch import required_feeder_depth
+
         dataset = StoryH5Dataset(
             ds_cfg, "train", args.tokenizer_path,
-            use_native_feeder=args.native_feeder)
+            use_native_feeder=args.native_feeder,
+            feeder_buffer_depth=(2 if args.no_prefetch
+                                 else required_feeder_depth(1)))
         unet_cfg = StoryUNetConfig(
             remat=args.gradient_checkpointing,
             temporal=TemporalConfig(max_frames=ds_cfg.num_frames))
@@ -210,20 +219,24 @@ def main(argv=None):
                               shard_id=jax.process_index(),
                               num_shards=jax.process_count())
     if not args.no_prefetch:
-        # overlap host decode/pack with device compute (depth 1 stays
-        # under the native feeder's ring depth; data/prefetch.py)
+        # overlap host decode/pack with device compute; the native feeder's
+        # ring is sized for this pipeline depth above (data/prefetch.py)
         batches = PrefetchIterator(batches, depth=1)
     guard = PreemptionGuard.install()
+    profiler = ProfileWindow(args.profile_dir, args.profile_start,
+                             args.profile_steps)
+
+    def cleanup():
+        # every loop exit: finalize an in-window trace, stop the prefetch
+        # thread (and with it the h5/native-feeder handles it drives)
+        profiler.close()
+        if isinstance(batches, PrefetchIterator):
+            batches.close()
+
     key = jax.random.PRNGKey(args.seed)
     timer = StepTimer()
     for step_i in range(start_step, args.max_train_steps):
-        if args.profile_dir is not None:
-            import jax.profiler as _prof
-
-            if step_i == args.profile_start:
-                _prof.start_trace(args.profile_dir)
-            elif step_i == args.profile_start + args.profile_steps:
-                _prof.stop_trace()
+        profiler.tick(step_i)
         raw = global_batch(mesh, next(batches))
         timer.data_loaded()
         # frozen VAE/CLIP encoders run DP-sharded under GSPMD
@@ -244,7 +257,7 @@ def main(argv=None):
                              "opt_state": state.opt_state,
                              "step": state.step},
                             {"last_global_step": step_i + 1})
-        if guard.should_stop:
+        if guard.should_stop_global():
             # SIGTERM (preemption): save at the step boundary, exit clean
             save_checkpoint(args.output_dir, step_i + 1,
                             {"params": state.params,
@@ -253,8 +266,10 @@ def main(argv=None):
                             {"last_global_step": step_i + 1,
                              "preempted": True})
             print(f"preempted: checkpoint saved at step {step_i + 1}")
+            cleanup()
             log.close()
             return
+    cleanup()
     save_checkpoint(args.output_dir, args.max_train_steps,
                     {"params": state.params, "opt_state": state.opt_state,
                      "step": state.step},

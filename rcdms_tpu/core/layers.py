@@ -154,7 +154,7 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-def _use_fused_geglu(n: int, c: int, inner: int) -> bool:
+def _use_fused_geglu(n: int, c: int, inner: int, itemsize: int = 2) -> bool:
     """Route the geglu FF through the fused Pallas kernel (ops/geglu.py):
     the (tokens, 2*inner) intermediate stays in VMEM instead of
     round-tripping HBM between the two Dense matmuls. Same dispatch state
@@ -173,7 +173,7 @@ def _use_fused_geglu(n: int, c: int, inner: int) -> bool:
         return False
     from rcdms_tpu.ops.geglu import fits_kernel
 
-    return fits_kernel(n, c, inner)
+    return fits_kernel(n, c, inner, itemsize)
 
 
 class FeedForward(nn.Module):
@@ -190,7 +190,8 @@ class FeedForward(nn.Module):
         dim = x.shape[-1]
         inner = dim * self.mult
         if (self.activation == "geglu"
-                and _use_fused_geglu(x.shape[-2], dim, inner)):
+                and _use_fused_geglu(x.shape[-2], dim, inner,
+                                     jnp.dtype(self.dtype).itemsize)):
             from rcdms_tpu.ops.geglu import geglu_ff
 
             w1, b1 = _DenseParams(dim, inner * 2, name="proj_in")()
@@ -235,8 +236,8 @@ class PaddedDense(nn.Module):
     so Pallas kernels consume lane-aligned layouts with NO runtime HBM pad:
 
       * out_pad: emit padded outputs — ("tail", real, padded) puts zeros
-        after the real features; ("interleave", heads, dh, group) pads each
-        head's dh columns to a full `group`-lane block.
+        after the real features. (The "interleave" spec died with the
+        round-2 packed kernel; only "tail" remains.)
       * in_pad: accept padded inputs by zero-expanding kernel ROWS at the
         same positions (zero rows annihilate the pad lanes).
 

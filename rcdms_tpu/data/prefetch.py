@@ -4,17 +4,28 @@ compute.
 The reference gets this from torch DataLoader worker processes
 (`train_stage1.py:190-206`, num_workers=8); here a single daemon thread
 drains the dataset iterator into a bounded queue while the device runs the
-previous step. Works with both the numpy protocol and the native C++
-feeder — `depth` must stay below the feeder's ring depth
-(`StoryH5Dataset.feeder_buffer_depth`) so a queued batch is never
-overwritten before the consumer takes it (the feeder returns read-only
-views; see data/native_feeder.py)."""
+previous step.
+
+Native-feeder interaction: the C++ feeder returns read-only views into a
+ring of `feeder_buffer_depth` buffers (data/native_feeder.py) that are
+REUSED after that many `pack_batch` calls. With prefetching, up to
+`depth + 2` batches are alive at once (one held by the consumer, `depth`
+queued, one being packed), so callers must size the ring at least that
+deep — `required_feeder_depth(depth)`; the train CLIs do this
+automatically."""
 
 from __future__ import annotations
 
 import queue
 import threading
 from typing import Iterator
+
+
+def required_feeder_depth(prefetch_depth: int) -> int:
+    """Minimum native-feeder ring depth so no queued/held batch is
+    overwritten while the producer packs ahead: consumer-held (1) +
+    queued (depth) + in-flight pack (1)."""
+    return prefetch_depth + 2
 
 
 class PrefetchIterator:
@@ -24,6 +35,7 @@ class PrefetchIterator:
         batches = PrefetchIterator(dataset.batches(...), depth=1)
         for _ in range(steps):
             batch = next(batches)
+        batches.close()
     """
 
     _SENTINEL = object()
@@ -39,11 +51,28 @@ class PrefetchIterator:
                 for item in it:
                     if self._stop.is_set():
                         return
-                    self._q.put(item)
+                    # bounded put that re-checks the stop flag, so close()
+                    # can always unblock the producer
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on next()
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                # the sentinel MUST reach the consumer on normal exhaustion
+                # (or error) — bounded put that gives up only once close()
+                # has stopped consumption
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=run, daemon=True,
                                         name="rcdms-prefetch")
@@ -60,11 +89,20 @@ class PrefetchIterator:
             raise StopIteration
         return item
 
-    def close(self):
+    def close(self, join_timeout: float = 5.0):
+        """Stop the producer thread and release its resources. Safe to call
+        multiple times; the underlying iterator's handles (h5/feeder) stop
+        being driven once the thread exits."""
         self._stop.set()
-        # drain so the producer unblocks and exits
-        try:
-            while True:
+        # drain so a blocked put() observes the flag and the thread exits
+        while self._thread.is_alive():
+            try:
                 self._q.get_nowait()
-        except queue.Empty:
-            pass
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
+            if not self._thread.is_alive():
+                break
+            if join_timeout <= 0:
+                break
+            join_timeout -= 0.05

@@ -82,12 +82,24 @@ _BEST_BLOCKS = {
 }
 
 
+def _vmem_estimate(blk_n: int, blk_i: int, c: int, itemsize: int) -> int:
+    """Double-buffered x/w1h/w1g/w2 tiles + fp32 h/g/a temporaries + the
+    fp32 scratch accumulator."""
+    tiles = (blk_n * c + 3 * c * blk_i) * itemsize * 2
+    temps = 3 * blk_n * blk_i * 4 + blk_n * c * 4
+    return tiles + temps
+
+
 def _pick_block(n: int, c: int, inner: int, itemsize: int):
     """(blk_n, blk_i) fitting the VMEM budget, or None if the shapes do not
-    tile cleanly. VMEM: double-buffered x/w1h/w1g/w2 tiles + fp32 h/g
-    temporaries + the fp32 scratch accumulator."""
+    tile cleanly."""
     best = _BEST_BLOCKS.get((c, inner))
-    if best is not None and n % best[0] == 0 and inner % best[1] == 0:
+    if (best is not None and n % best[0] == 0 and inner % best[1] == 0
+            # the measured-best table was swept at bf16 near the 24 MB
+            # kernel limit; fp32 inputs double the tile bytes and must
+            # re-qualify or fall through to the conservative scan
+            and _vmem_estimate(best[0], best[1], c,
+                               itemsize) <= 2 * VMEM_BUDGET):
         return best
     for blk_n in (512, 256, 128, 64):
         if n % blk_n:
@@ -95,9 +107,7 @@ def _pick_block(n: int, c: int, inner: int, itemsize: int):
         for blk_i in (1280, 1024, 640, 512, 320, 256, 128):
             if inner % blk_i:
                 continue
-            tiles = (blk_n * c + 3 * c * blk_i) * itemsize * 2
-            temps = 3 * blk_n * blk_i * 4 + blk_n * c * 4
-            if tiles + temps <= VMEM_BUDGET:
+            if _vmem_estimate(blk_n, blk_i, c, itemsize) <= VMEM_BUDGET:
                 return blk_n, blk_i
     return None
 

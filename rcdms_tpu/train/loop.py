@@ -11,7 +11,6 @@ import jax
 from jax.sharding import Mesh
 
 from rcdms_tpu.train.sharding import (
-    batch_sharding,
     replicated,
     replicated_shardings,
     zero2_opt_state_shardings,
@@ -50,7 +49,6 @@ def make_sharded_train_step(train_step: Callable, state: TrainState,
         their Adam moments (ZeRO-2's reduce-scatter pattern, half the
         all-reduce bytes)"""
     st_sh = state_shardings(state, mesh, zero2)
-    b_sh = batch_sharding(mesh)
     r_sh = replicated(mesh)
 
     if loss_fn is not None:

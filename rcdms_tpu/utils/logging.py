@@ -136,3 +136,34 @@ def profile_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class ProfileWindow:
+    """Start/stop a jax.profiler trace over a step window, robust to the
+    loop ending early (max_train_steps or preemption inside the window):
+    `close()` finalizes an active trace so the file is always written."""
+
+    def __init__(self, trace_dir, start_step: int, num_steps: int):
+        self.dir = trace_dir
+        self.start = start_step
+        self.end = start_step + num_steps
+        self.active = False
+
+    def tick(self, step: int) -> None:
+        if self.dir is None:
+            return
+        import jax.profiler as prof
+
+        if step == self.start and not self.active:
+            prof.start_trace(self.dir)
+            self.active = True
+        elif step >= self.end and self.active:
+            prof.stop_trace()
+            self.active = False
+
+    def close(self) -> None:
+        if self.active:
+            import jax.profiler as prof
+
+            prof.stop_trace()
+            self.active = False

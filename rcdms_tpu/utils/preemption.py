@@ -39,6 +39,29 @@ class PreemptionGuard:
     def trigger(self, signum=None, frame=None) -> None:
         self._event.set()
 
+    def should_stop_global(self) -> bool:
+        """Multi-host-agreed stop flag. On >1-process runs this is a
+        COLLECTIVE (a tiny scalar all-gather): every process must call it
+        at the same point each step. Without agreement, hosts that observe
+        SIGTERM at different step boundaries would enter the collective
+        checkpoint save at different steps (or while peers still run the
+        train step's all-reduce) and deadlock instead of saving. Any
+        process's flag stops all of them."""
+        import jax
+
+        local = self._event.is_set()
+        if jax.process_count() == 1:
+            return local
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(local, np.int32))
+        agreed = bool(np.max(np.asarray(flags)))
+        if agreed:
+            self._event.set()
+        return agreed
+
     @classmethod
     def install(cls, signals=(signal.SIGTERM,)) -> "PreemptionGuard":
         guard = cls()

@@ -105,3 +105,55 @@ def test_sigterm_saves_checkpoint_and_resumes(tmp_path):
     meta = json.loads(open(meta_files[0]).read())
     assert meta.get("preempted") is True
     assert meta["last_global_step"] == step
+
+def test_prefetch_close_unblocks_blocked_producer():
+    """close() must terminate a producer blocked in put() without
+    deadlocking on the sentinel (review finding: the finally-put could
+    block forever on a full queue)."""
+    import itertools
+
+    from rcdms_tpu.data.prefetch import PrefetchIterator
+
+    it = PrefetchIterator(itertools.count(), depth=1)
+    assert next(it) == 0  # producer now blocked refilling the queue
+    it.close()
+    it._thread.join(timeout=5)
+    assert not it._thread.is_alive()
+    # idempotent
+    it.close()
+
+
+def test_required_feeder_depth():
+    from rcdms_tpu.data.prefetch import required_feeder_depth
+
+    # consumer-held + queued + in-flight pack
+    assert required_feeder_depth(1) == 3
+    assert required_feeder_depth(2) == 4
+
+
+def test_should_stop_global_single_process():
+    """On a single process the collective stop flag equals the local flag
+    (multi-host agreement is exercised by the 2-process multihost
+    harness)."""
+    from rcdms_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+    assert not guard.should_stop_global()
+    guard.trigger()
+    assert guard.should_stop_global()
+
+
+def test_geglu_fp32_blocks_respect_vmem():
+    """The measured-best bf16 block table must not be applied to fp32
+    inputs when it busts the kernel's VMEM limit (review finding)."""
+    from rcdms_tpu.ops.geglu import (
+        VMEM_BUDGET,
+        _pick_block,
+        _vmem_estimate,
+    )
+
+    bf16 = _pick_block(4096, 320, 1280, 2)
+    assert bf16 == (1024, 1280)  # sweep winner applies at bf16
+    fp32 = _pick_block(4096, 320, 1280, 4)
+    assert fp32 is not None  # still tileable...
+    assert _vmem_estimate(*fp32, 320, 4) <= VMEM_BUDGET  # ...within budget

@@ -83,6 +83,15 @@ def test_reference_frame_and_errors(server):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+    # valid base64 that is not an image -> 400 (UnidentifiedImageError is
+    # an OSError, which the handler must catch), not a connection reset
+    try:
+        _post(url, {"captions": _captions(f),
+                    "reference_frames":
+                        [base64.b64encode(b"not an image").decode()]})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
     with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
         assert json.loads(r.read())["status"] == "ok"
 
