@@ -124,7 +124,19 @@ sl = jax.tree_util.tree_leaves(state.opt_state)
 shard_ok = all(a.sharding == b.sharding for a, b in zip(ol, sl)
                if hasattr(a, "sharding") and hasattr(b, "sharding"))
 
+# --- multi-host-agreed preemption flag: only process 0 sees 'SIGTERM',
+# but the collective agreement must stop BOTH processes at the same step
+from rcdms_tpu.utils.preemption import PreemptionGuard
+guard = PreemptionGuard()
+agreed_before = guard.should_stop_global()   # collective: both call it
+if pid == 0:
+    guard.trigger()
+agreed_after = guard.should_stop_global()    # process 1 must now agree
+assert not agreed_before and agreed_after, (pid, agreed_before,
+                                            agreed_after)
+
 print(json.dumps({"pid": pid, "loss": float(loss),
+                  "stop_agreed": bool(agreed_after),
                   "n_dev": len(jax.devices()),
                   "local_rows": int(raw["target"].shape[0]),
                   "local_fingerprint": local_fp,
@@ -165,3 +177,6 @@ def test_two_process_distributed_train_step(tmp_path):
     assert outs[0]["local_fingerprint"] != outs[1]["local_fingerprint"]
     # multi-host orbax checkpoint round-trip kept values + shardings
     assert outs[0]["ckpt_ok"] and outs[1]["ckpt_ok"]
+    # preemption flag agreement: only pid 0 'received SIGTERM' but both
+    # processes observed the collective stop
+    assert outs[0]["stop_agreed"] and outs[1]["stop_agreed"]
