@@ -13,12 +13,16 @@ serialized through a single dispatch thread (JAX programs already saturate
 the chip), while HTTP handling is threaded.
 
 API:
-  GET  /healthz   -> {"status": "ok", "num_frames": f, "compiled": [...]}
+  GET  /healthz   -> {"status": "ok", "num_frames": f, "compiled": [...],
+                      "served": N, "pending": N, "avg_latency_s": s}
   POST /generate  -> body {"captions": [str x f],
                            "reference_frames": [base64 PNG, ...],  # 0..f
                            "negative_prompt": str, "seed": int}
                   -> {"frames": [base64 PNG x f], "latency_s": float,
                       "batch_size": int}
+
+Backpressure: more than --max-queue pending requests -> 503 (callers
+should retry with backoff) instead of unbounded latency growth.
 
 Batching semantics: requests arriving within --max-wait-ms are stacked
 into one program call (up to --max-batch). Each request keeps its own
@@ -53,6 +57,10 @@ def parse_args(argv=None):
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--max-wait-ms", type=float, default=50.0,
                    help="how long to hold a request open for batch fill")
+    p.add_argument("--max-queue", type=int, default=64,
+                   help="pending-request cap; beyond it /generate "
+                        "returns 503 (backpressure) instead of growing "
+                        "latency unboundedly")
     args, rest = p.parse_known_args(argv)
     args.eval = eval_args(rest)
     return args
@@ -89,7 +97,8 @@ class StoryServer:
     """Owns the pipeline, the request queue, and the single dispatch
     thread that batches and executes requests."""
 
-    def __init__(self, ev_args, max_batch: int, max_wait_ms: float):
+    def __init__(self, ev_args, max_batch: int, max_wait_ms: float,
+                 max_queue: int = 64):
         from rcdms_tpu.cli.evaluate import build_pipeline
 
         self.pipeline, self.params, self.dataset, self.ds_cfg = \
@@ -98,7 +107,10 @@ class StoryServer:
         self.max_wait_s = max_wait_ms / 1e3
         self.generate = jax.jit(self.pipeline.generate)
         self.compiled_batches = set()
-        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=max(1, max_queue))
+        self.served = 0
+        self.total_latency_s = 0.0
         self._stop = threading.Event()
         self.worker = threading.Thread(target=self._loop, daemon=True)
 
@@ -119,9 +131,14 @@ class StoryServer:
     def stop(self):
         self._stop.set()
 
-    def submit(self, inputs, seed: int) -> _Request:
+    def submit(self, inputs, seed: int):
+        """Enqueue, or return None when the server is saturated
+        (backpressure -> 503)."""
         req = _Request(inputs, seed)
-        self.queue.put(req)
+        try:
+            self.queue.put_nowait(req)
+        except queue.Full:
+            return None
         return req
 
     def _take_batch(self):
@@ -168,6 +185,7 @@ class StoryServer:
             r.frames = u8[i]
             r.batch_size = len(batch)
             r.done.set()
+        self.served += len(batch)
 
 
 def make_handler(server: StoryServer):
@@ -191,6 +209,10 @@ def make_handler(server: StoryServer):
                 "num_frames": server.ds_cfg.num_frames,
                 "image_size": server.ds_cfg.image_size,
                 "compiled": sorted(server.compiled_batches),
+                "served": server.served,
+                "pending": server.queue.qsize(),
+                "avg_latency_s": round(
+                    server.total_latency_s / max(1, server.served), 4),
             })
 
         def do_POST(self):
@@ -214,12 +236,17 @@ def make_handler(server: StoryServer):
                 return self._reply(400, {"error": str(e)})
             t0 = time.monotonic()
             req = server.submit(inputs, seed)
+            if req is None:
+                return self._reply(503, {"error": "server saturated; "
+                                         "retry later"})
             req.done.wait()
             if req.error is not None:
                 return self._reply(500, {"error": req.error})
+            latency = time.monotonic() - t0
+            server.total_latency_s += latency
             self._reply(200, {
                 "frames": [_png_b64(f) for f in req.frames],
-                "latency_s": round(time.monotonic() - t0, 4),
+                "latency_s": round(latency, 4),
                 "batch_size": req.batch_size,
             })
 
@@ -227,7 +254,8 @@ def make_handler(server: StoryServer):
 
 
 def serve(args, *, ready_event=None, httpd_box=None):
-    server = StoryServer(args.eval, args.max_batch, args.max_wait_ms)
+    server = StoryServer(args.eval, args.max_batch, args.max_wait_ms,
+                         args.max_queue)
     print("compiling batch-1 pipeline...", flush=True)
     t0 = time.monotonic()
     server.warmup()

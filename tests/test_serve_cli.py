@@ -114,3 +114,24 @@ def test_concurrent_requests_batch(server):
     # assert the server is at least CAPABLE of batching (compiled batch 2
     # when it happened) without making the test timing-flaky
     assert max(r["batch_size"] for r in results) in (1, 2)
+
+
+def test_backpressure_503():
+    """A saturated queue returns 503 instead of queueing unboundedly."""
+    import urllib.error
+
+    args = parse_args(["--port", "0", "--max-batch", "1",
+                       "--max-queue", "1", "--synthetic",
+                       "--num-inference-steps", "1"])
+    from rcdms_tpu.cli.serve import StoryServer
+
+    srv = StoryServer(args.eval, args.max_batch, args.max_wait_ms,
+                      max_queue=1)
+    # do NOT start the worker: submissions pile up
+    f = srv.ds_cfg.num_frames
+    from rcdms_tpu.cli.common import build_story_inputs
+
+    inputs = build_story_inputs([f"c{i}" for i in range(f)], [], "",
+                                srv.dataset, srv.ds_cfg)
+    assert srv.submit(inputs, 0) is not None   # fills the queue
+    assert srv.submit(inputs, 1) is None       # saturated -> 503 path
