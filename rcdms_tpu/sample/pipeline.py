@@ -198,9 +198,14 @@ class StoryPipeline:
 
 def build_tiny_pipeline(key: Optional[Array] = None,
                         mesh: object = None,
-                        num_steps: int = 2):
+                        num_steps: int = 2,
+                        num_frames: int = 5):
     """Tiny random-weights two-stage pipeline + params + example inputs —
-    shared by the unit tests, the multichip dryrun, and smoke benches."""
+    shared by the unit tests, the multichip dryrun, and smoke benches.
+    `num_frames` demonstrates story lengths != 5 (the reference hardcodes
+    5 throughout — `motion_module.py:151`, `RCDMs_pipeline.py:261`)."""
+    import dataclasses
+
     from rcdms_tpu.configs import (
         CLIPTextConfig,
         CLIPVisionConfig,
@@ -214,8 +219,16 @@ def build_tiny_pipeline(key: Optional[Array] = None,
     from rcdms_tpu.models.unet3d import StoryUNet
 
     key = key if key is not None else jax.random.PRNGKey(0)
-    prior_cfg = PriorConfig.tiny()
-    unet_cfg = StoryUNetConfig.tiny()
+    prior_cfg = PriorConfig.tiny(num_frames=num_frames)
+    unet_cfg = StoryUNetConfig.tiny(num_frames=num_frames)
+    if num_frames > prior_cfg.temporal.max_frames:
+        # temporal PE table must cover the story length
+        prior_cfg = dataclasses.replace(
+            prior_cfg, temporal=dataclasses.replace(
+                prior_cfg.temporal, max_frames=num_frames))
+        unet_cfg = dataclasses.replace(
+            unet_cfg, temporal=dataclasses.replace(
+                unet_cfg.temporal, max_frames=num_frames))
     fusion_cfg = FusionConfig.tiny(
         hidden_dim=unet_cfg.cross_attention_dim,
         text_dim=unet_cfg.cross_attention_dim,
@@ -239,7 +252,7 @@ def build_tiny_pipeline(key: Optional[Array] = None,
     unet = StoryUNet(unet_cfg)
     fusion = FusionModule(fusion_cfg)
 
-    f, img, cimg = 5, 32, v_cfg.image_size
+    f, img, cimg = num_frames, 32, v_cfg.image_size
     ks = jax.random.split(key, 8)
     ids = jnp.zeros((1, f, t), jnp.int32).at[:, :, 3].set(
         t1_cfg.eos_token_id)
@@ -282,7 +295,7 @@ def build_tiny_pipeline(key: Optional[Array] = None,
         source_clip=jax.random.normal(ks[7], (1, f, cimg, cimg, 3)),
         mask_clip=jnp.zeros((1, f, cimg, cimg, 3)),
         source_pixels=jnp.zeros((1, f, img, img, 3)),
-        frame_known=jnp.array([[True, False, False, False, False]]),
+        frame_known=(jnp.arange(f) < 1)[None],
     )
     return pipeline, params, inputs
 

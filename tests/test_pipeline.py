@@ -41,3 +41,23 @@ def test_padding_mask_from_tokens():
     # no EOS anywhere -> everything attended
     mask2 = _padding_mask(jnp.ones((1, 1, 7), jnp.int32), 63)
     assert mask2[0, 0].all()
+
+
+@pytest.mark.parametrize("num_frames", [3, 7])
+def test_story_length_generalizes(num_frames):
+    """The framework parameterizes the story length the reference hardcodes
+    at 5 (`motion_module.py:151`, `RCDMs_pipeline.py:261`,
+    `configs/training.yaml:13`): the full two-stage pipeline runs at f=3
+    and f=7 (beyond the default temporal-PE table, which must grow)."""
+    import jax
+    import numpy as np
+
+    from rcdms_tpu.sample.pipeline import build_tiny_pipeline
+
+    pipeline, params, inputs = build_tiny_pipeline(
+        jax.random.PRNGKey(0), num_frames=num_frames)
+    frames, embeds = jax.jit(pipeline.generate)(params, inputs,
+                                                jax.random.PRNGKey(1))
+    assert frames.shape[1] == num_frames
+    assert embeds.shape[1] == num_frames
+    assert np.isfinite(np.asarray(frames)).all()
