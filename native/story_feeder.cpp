@@ -50,6 +50,14 @@ inline double bicubic_filter(double x) {
   return 0.0;
 }
 
+inline double bilinear_filter(double x) {  // PIL BILINEAR (triangle)
+  if (x < 0.0) x = -x;
+  if (x < 1.0) return 1.0 - x;
+  return 0.0;
+}
+
+enum Filter { kBicubic, kBilinear };
+
 inline uint8_t clip8(int32_t in) {
   if (in >= (1 << (kPrecisionBits + 8))) return 255;
   if (in <= 0) return 0;
@@ -63,8 +71,8 @@ struct Coeffs {
   int ksize = 0;
 };
 
-Coeffs build_coeffs(int in_size, int out_size) {
-  const double support_base = 2.0;  // bicubic
+Coeffs build_coeffs(int in_size, int out_size, Filter filt = kBicubic) {
+  const double support_base = filt == kBicubic ? 2.0 : 1.0;
   const double scale = static_cast<double>(in_size) / out_size;
   const double filterscale = scale < 1.0 ? 1.0 : scale;
   const double support = support_base * filterscale;
@@ -84,7 +92,8 @@ Coeffs build_coeffs(int in_size, int out_size) {
     xmax -= xmin;
     double ww = 0.0;
     for (int x = 0; x < xmax; ++x) {
-      w[x] = bicubic_filter((x + xmin - center + 0.5) * ss);
+      w[x] = filt == kBicubic ? bicubic_filter((x + xmin - center + 0.5) * ss)
+                              : bilinear_filter((x + xmin - center + 0.5) * ss);
       ww += w[x];
     }
     for (int x = 0; x < xmax; ++x) {
@@ -186,16 +195,16 @@ void vertical_pass_f32(const uint8_t* tmp, int row_elems, const Coeffs& c,
 }
 
 // (h, w, 3) -> (out_h, out_w, 3), uint8, PIL-exact.
-void resize_bicubic_impl(const uint8_t* src, int h, int w, int out_h,
-                         int out_w, uint8_t* dst) {
+void resize_impl(const uint8_t* src, int h, int w, int out_h,
+                 int out_w, uint8_t* dst, Filter filt) {
   if (h == out_h && w == out_w) {  // PIL returns a copy for identity resize
     std::memcpy(dst, src, static_cast<size_t>(h) * w * 3);
     return;
   }
   std::vector<uint8_t> tmp(static_cast<size_t>(h) * out_w * 3);
-  const Coeffs ch_ = build_coeffs(w, out_w);
+  const Coeffs ch_ = build_coeffs(w, out_w, filt);
   horizontal_pass(src, h, w, ch_, 0, out_w, tmp.data());
-  const Coeffs cv = build_coeffs(h, out_h);
+  const Coeffs cv = build_coeffs(h, out_h, filt);
   std::vector<int32_t> acc;
   vertical_pass_u8(tmp.data(), out_w * 3, cv, 0, out_h, dst, acc);
 }
@@ -205,7 +214,8 @@ void resize_bicubic_impl(const uint8_t* src, int h, int w, int out_h,
 // float normalization into the vertical epilogue.
 void resize_crop_normalize(const uint8_t* src, int h, int w, int nh, int nw,
                            int crop, const float d[3], const float m[3],
-                           const float s[3], float* dst) {
+                           const float s[3], float* dst,
+                           Filter filt = kBicubic) {
   const int top = (nh - crop) / 2;
   const int left = (nw - crop) / 2;
   const NormLut lut(d, m, s);
@@ -223,10 +233,10 @@ void resize_crop_normalize(const uint8_t* src, int h, int w, int nh, int nw,
     }
     return;
   }
-  const Coeffs chh = build_coeffs(w, nw);
+  const Coeffs chh = build_coeffs(w, nw, filt);
   tmp.resize(static_cast<size_t>(h) * crop * 3);
   horizontal_pass(src, h, w, chh, left, crop, tmp.data());
-  const Coeffs cv = build_coeffs(h, nh);
+  const Coeffs cv = build_coeffs(h, nh, filt);
   vertical_pass_f32(tmp.data(), crop * 3, cv, top, crop, lut, dst, acc);
 }
 
@@ -237,20 +247,29 @@ extern "C" {
 // exported for tests (parity vs PIL through data/protocol.py)
 void resize_bicubic(const uint8_t* src, int h, int w, int out_h, int out_w,
                     uint8_t* dst) {
-  resize_bicubic_impl(src, h, w, out_h, out_w, dst);
+  resize_impl(src, h, w, out_h, out_w, dst, kBicubic);
+}
+
+void resize_bilinear(const uint8_t* src, int h, int w, int out_h, int out_w,
+                     uint8_t* dst) {
+  resize_impl(src, h, w, out_h, out_w, dst, kBilinear);
 }
 
 // ---------------------------------------------------------------------------
 // Pixel kernels (bicubic resize + normalization, matching data/protocol.py)
 // ---------------------------------------------------------------------------
 
-// uint8 HWC -> float32 HWC in [-1, 1] with PIL-bicubic resize to (out, out)
-// == protocol.pixel_preprocess (x / 127.5 - 1, numpy op order).
+// uint8 HWC -> float32 HWC in [-1, 1] with PIL-BILINEAR resize to
+// (out, out) == protocol.pixel_preprocess (x / 127.5 - 1, numpy op order).
+// Bilinear because the reference's transforms.Resize([s, s]) uses
+// torchvision's default InterpolationMode.BILINEAR
+// (mydatasets/flintstones.py:78); CLIP preprocessing below stays bicubic.
 void normalize_pixels(const uint8_t* src, int h, int w, int out, float* dst) {
   static const float kD[3] = {127.5f, 127.5f, 127.5f};
   static const float kM[3] = {1.0f, 1.0f, 1.0f};
   static const float kS[3] = {1.0f, 1.0f, 1.0f};
-  resize_crop_normalize(src, h, w, out, out, out, kD, kM, kS, dst);
+  resize_crop_normalize(src, h, w, out, out, out, kD, kM, kS, dst,
+                        kBilinear);
 }
 
 // uint8 HWC -> CLIP-normalized float32: PIL-bicubic resize shortest side to

@@ -128,6 +128,12 @@ class StoryH5Dataset:
         """Infinite epoch iterator over this process's shard (the
         `DistributedSampler` equivalent, `train_stage2.py:320-325`)."""
         n = len(self)
+        shard_n = len(range(shard_id, n, num_shards))
+        if shard_n < batch_size:
+            raise ValueError(
+                f"shard {shard_id}/{num_shards} has {shard_n} items < "
+                f"batch_size {batch_size} — the epoch loop would spin "
+                f"forever without yielding")
         epoch = 0
         while True:
             rng = np.random.RandomState(seed + epoch)
@@ -176,6 +182,10 @@ class SyntheticStoryDataset:
                 num_shards: int = 1, **_) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(seed)
         order = np.arange(self.num_items)[shard_id::num_shards]
+        if len(order) < batch_size:
+            raise ValueError(
+                f"shard {shard_id}/{num_shards} has {len(order)} items < "
+                f"batch_size {batch_size}")
         while True:
             for start in range(0, len(order) - batch_size + 1, batch_size):
                 yield collate([self.example(int(i), rng)

@@ -82,6 +82,10 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            # after close() the producer may have exited without a
+            # sentinel; a blocking get() would deadlock
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
             if self._err is not None:
@@ -94,6 +98,11 @@ class PrefetchIterator:
         multiple times; the underlying iterator's handles (h5/feeder) stop
         being driven once the thread exits."""
         self._stop.set()
+        # wake any consumer blocked in get()
+        try:
+            self._q.put_nowait(self._SENTINEL)
+        except queue.Full:
+            pass
         # drain so a blocked put() observes the flag and the thread exits
         while self._thread.is_alive():
             try:

@@ -26,12 +26,15 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
-def _resize(img: np.ndarray, size_hw) -> np.ndarray:
-    """Bicubic resize via PIL (matches transformers' default resampling)."""
+def _resize(img: np.ndarray, size_hw, filt=None) -> np.ndarray:
+    """PIL resize. Default BICUBIC (transformers' CLIP resampling);
+    pixel_preprocess passes BILINEAR (torchvision's transforms.Resize
+    default)."""
     from PIL import Image
 
     pil = Image.fromarray(img)
-    return np.asarray(pil.resize((size_hw[1], size_hw[0]), Image.BICUBIC))
+    return np.asarray(pil.resize((size_hw[1], size_hw[0]),
+                                 Image.BICUBIC if filt is None else filt))
 
 
 def clip_preprocess(img: np.ndarray, size: int = 224) -> np.ndarray:
@@ -47,9 +50,14 @@ def clip_preprocess(img: np.ndarray, size: int = 224) -> np.ndarray:
 
 
 def pixel_preprocess(img: np.ndarray, size: int = 512) -> np.ndarray:
-    """uint8 HWC RGB -> [-1, 1] float32 (size, size, 3) (square resize, not
-    aspect-preserving, matching the reference's `transforms.Resize([s, s])`)."""
-    img = _resize(img, (size, size))
+    """uint8 HWC RGB -> [-1, 1] float32 (size, size, 3): square BILINEAR
+    resize (not aspect-preserving), matching the reference's
+    `transforms.Resize([s, s])` whose torchvision default interpolation is
+    InterpolationMode.BILINEAR (`mydatasets/flintstones.py:76-81`). CLIP
+    preprocessing keeps BICUBIC (the CLIPImageProcessor default)."""
+    from PIL import Image
+
+    img = _resize(img, (size, size), Image.BILINEAR)
     return img.astype(np.float32) / 127.5 - 1.0
 
 
@@ -109,23 +117,39 @@ class StoryTokenizer:
     def __call__(self, texts: Sequence[str]) -> Dict[str, np.ndarray]:
         max_len = self.cfg.max_text_len
         if self._tok is not None:
-            out = self._tok(list(texts), padding="max_length",
-                            max_length=max_len, truncation=False,
-                            return_tensors="np")
-            ids = out["input_ids"].astype(np.int32)
-            mask = out["attention_mask"].astype(bool)
-            if ids.shape[1] > max_len:  # truncation=False can overflow
-                ids, mask = ids[:, :max_len], mask[:, :max_len]
-                ids[:, -1] = self.eos_token_id
+            # tokenize WITHOUT return_tensors: with truncation=False an
+            # over-length caption makes the padded batch ragged and HF's
+            # array conversion raises before any clamp can run (the
+            # reference, which passes the same args with return_tensors=
+            # 'pt' — flintstones.py:218-226 — would crash on such input);
+            # pad/clamp manually instead
+            enc = self._tok(list(texts), padding=False,
+                            truncation=False)["input_ids"]
+            pad_id = (self._tok.pad_token_id
+                      if self._tok.pad_token_id is not None
+                      else self.eos_token_id)
+            ids = np.full((len(texts), max_len), pad_id, np.int32)
+            mask = np.zeros((len(texts), max_len), bool)
+            for i, seq in enumerate(enc):
+                if len(seq) > max_len:
+                    seq = list(seq[:max_len])
+                    seq[-1] = self.eos_token_id
+                ids[i, :len(seq)] = seq
+                mask[i, :len(seq)] = True
             return {"input_ids": ids, "attention_mask": mask}
         # hash fallback: bos, per-word ids, eos, pad-with-eos (CLIP pads
-        # with eos token by default)
+        # with eos token by default). crc32, NOT builtin hash(): the
+        # builtin is salted per process (PYTHONHASHSEED), which would make
+        # 'deterministic' ids differ across runs and hosts
+        import zlib
+
         bos, eos = 49406, 49407
         ids = np.full((len(texts), max_len), eos, np.int32)
         mask = np.zeros((len(texts), max_len), bool)
         for i, t in enumerate(texts):
             words = t.lower().split()[: max_len - 2]
-            row = [bos] + [hash(w) % 49000 for w in words] + [eos]
+            row = [bos] + [zlib.crc32(w.encode()) % 49000
+                           for w in words] + [eos]
             ids[i, : len(row)] = np.asarray(row, np.int32)
             mask[i, : len(row)] = True
         return {"input_ids": ids, "attention_mask": mask}

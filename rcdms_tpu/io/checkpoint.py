@@ -10,14 +10,34 @@ from typing import Any, Dict, Optional, Tuple
 
 
 
-def _mngr(directory: str, max_to_keep: int = 3):
+# one manager per directory: a CheckpointManager owns background threads,
+# so constructing (and never closing) one per save call leaks resources;
+# create=False on the read-only paths so probing a wrong path raises
+# instead of silently creating the directory
+_MANAGERS: Dict[Tuple[str, bool], Any] = {}
+
+
+def _mngr(directory: str, max_to_keep: int = 3, create: bool = True):
     import orbax.checkpoint as ocp
 
-    return ocp.CheckpointManager(
-        os.path.abspath(directory),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                             create=True),
-    )
+    key = (os.path.abspath(directory), create)
+    mngr = _MANAGERS.get(key)
+    if mngr is None:
+        mngr = ocp.CheckpointManager(
+            key[0],
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=create),
+        )
+        _MANAGERS[key] = mngr
+    elif not create:
+        # a cached read manager may predate newer saves in this process —
+        # re-scan the directory so latest_step() is current
+        try:
+            mngr.reload()
+        except AttributeError:
+            _MANAGERS.pop(key)
+            return _mngr(directory, max_to_keep, create)
+    return mngr
 
 
 def save_checkpoint(directory: str, step: int, state: Any,
@@ -36,8 +56,9 @@ def save_checkpoint(directory: str, step: int, state: Any,
 
 
 def latest_step(directory: str) -> Optional[int]:
-    mngr = _mngr(directory)
-    return mngr.latest_step()
+    if not os.path.isdir(directory):
+        return None
+    return _mngr(directory, create=False).latest_step()
 
 
 def restore_checkpoint(directory: str, target: Any,
@@ -46,7 +67,9 @@ def restore_checkpoint(directory: str, target: Any,
     (state, metadata, step)."""
     import orbax.checkpoint as ocp
 
-    mngr = _mngr(directory)
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(f"no checkpoint directory {directory}")
+    mngr = _mngr(directory, create=False)
     step = step if step is not None else mngr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {directory}")

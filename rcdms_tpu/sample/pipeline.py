@@ -100,7 +100,6 @@ class StoryPipeline:
         _, mask_embed = self._encode_images(params["vision"],
                                             inputs.mask_clip)
 
-        t1 = inputs.tokens_s1.shape[-1]
         eos1 = self.text_encoder_s1.cfg.eos_token_id
         cond1 = PriorConditioning(
             text_embed=te_c, text_hidden=th_c,

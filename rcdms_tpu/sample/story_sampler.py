@@ -105,7 +105,6 @@ class StorySampler:
 
         prop = int(self.encoder_propagation or 0)
         use_prop = prop >= 2
-        from rcdms_tpu.models.unet3d import StoryUNet
 
         def call_unet(x, t, ctx, cache, is_key):
             """UNet forward; with encoder propagation the down path only

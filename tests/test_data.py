@@ -1,7 +1,13 @@
 """Data protocol tests: masking semantics, CLIP preprocessing stats,
 tokenizer fallback, collate layout, synthetic dataset determinism."""
 
+import os
+
+import pytest
+
 import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from rcdms_tpu.configs import DatasetConfig
 from rcdms_tpu.data.datasets import SyntheticStoryDataset
@@ -90,3 +96,79 @@ def test_synthetic_batches_sharding_disjoint():
     b0 = next(ds.batches(2, shard_id=0, num_shards=2))
     b1 = next(ds.batches(2, shard_id=1, num_shards=2))
     assert not np.array_equal(b0["target"], b1["target"])
+
+
+def test_batches_raises_on_undersized_shard():
+    """A shard smaller than batch_size must raise, not busy-spin forever
+    (review finding)."""
+    from rcdms_tpu.data.datasets import SyntheticStoryDataset
+
+    ds = SyntheticStoryDataset()
+    it = ds.batches(ds.num_items + 1)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(it)
+    it = ds.batches(4, shard_id=0, num_shards=ds.num_items)
+    with pytest.raises(ValueError):
+        next(it)
+
+
+def test_hash_fallback_tokenizer_is_process_stable():
+    """The fallback tokenizer must produce the same ids in a fresh process
+    (builtin hash() is salted per process; crc32 is not)."""
+    import json
+    import subprocess
+    import sys
+
+    prog = (
+        "import json, sys; sys.path.insert(0, %r);"
+        "from rcdms_tpu.configs import DatasetConfig;"
+        "from rcdms_tpu.data.protocol import StoryTokenizer;"
+        "t = StoryTokenizer(DatasetConfig(name='pororosv', h5_path='x'));"
+        "print(json.dumps(t(['pororo builds a snowman'])"
+        "['input_ids'].tolist()))" % ROOT)
+    outs = [
+        json.loads(subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True,
+            check=True).stdout.strip())
+        for _ in range(2)
+    ]
+    assert outs[0] == outs[1]
+
+
+def test_tokenizer_overflow_clamps(tmp_path):
+    """Captions longer than max_text_len are truncated with a terminal EOS
+    instead of crashing HF's array conversion (the reference would crash —
+    flintstones.py:218-226 passes truncation=False + return_tensors)."""
+    pytest.importorskip("transformers")
+    import transformers
+
+    try:
+        tok = transformers.CLIPTokenizer.from_pretrained(
+            "openai/clip-vit-base-patch32")
+    except Exception:
+        pytest.skip("no local CLIP tokenizer files (no egress)")
+    d = tmp_path / "tok"
+    tok.save_pretrained(str(d))
+    from rcdms_tpu.configs import DatasetConfig
+    from rcdms_tpu.data.protocol import StoryTokenizer
+
+    cfg = DatasetConfig(name="pororosv", h5_path="x")
+    st = StoryTokenizer(cfg, str(d))
+    long = "word " * (cfg.max_text_len + 30)
+    out = st([long, "short caption"])
+    assert out["input_ids"].shape == (2, cfg.max_text_len)
+    assert out["input_ids"][0, -1] == st.eos_token_id
+    assert out["attention_mask"][0].all()
+    assert not out["attention_mask"][1].all()
+
+
+def test_prefetch_next_after_close_stops():
+    import itertools
+
+    from rcdms_tpu.data.prefetch import PrefetchIterator
+
+    it = PrefetchIterator(itertools.count(), depth=1)
+    assert next(it) == 0
+    it.close()
+    with pytest.raises(StopIteration):
+        next(it)

@@ -117,3 +117,29 @@ def test_dataset_native_batches_match_python(tmp_path):
     assert set(b_py) == set(b_nat)
     for key in b_py:
         np.testing.assert_array_equal(b_py[key], b_nat[key], err_msg=key)
+
+
+def test_resize_bilinear_matches_pil_exactly():
+    """The pixel path's BILINEAR resize (reference transforms.Resize
+    default — `mydatasets/flintstones.py:78`) replicates PIL bit-exactly,
+    like the bicubic CLIP path."""
+    import ctypes
+
+    from PIL import Image
+
+    lib = native_feeder.load_library()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.resize_bilinear.restype = None
+    lib.resize_bilinear.argtypes = [u8p] + [ctypes.c_int] * 4 + [u8p]
+    rng = np.random.default_rng(11)
+    for (h, w), (oh, ow) in [((128, 128), (512, 512)),
+                             ((300, 200), (64, 64)),
+                             ((57, 91), (128, 128))]:
+        img = np.ascontiguousarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        out = np.empty((oh, ow, 3), np.uint8)
+        lib.resize_bilinear(img.ctypes.data_as(u8p), h, w, oh, ow,
+                            out.ctypes.data_as(u8p))
+        ref = np.asarray(Image.fromarray(img).resize((ow, oh),
+                                                     Image.BILINEAR))
+        np.testing.assert_array_equal(out, ref)
