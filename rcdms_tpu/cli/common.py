@@ -37,15 +37,28 @@ from rcdms_tpu.models.vae import VAE
 logger = logging.getLogger("rcdms_tpu.cli")
 
 
+def _safetensors_sibling(path: str) -> str:
+    """The .safetensors file that diffusers/transformers place next to a
+    .bin: 'diffusion_pytorch_model.bin' -> 'diffusion_pytorch_model
+    .safetensors' (a plain suffix swap; the old 'pytorch_model.bin' ->
+    'model.safetensors' replace mangled diffusers names into nonexistent
+    files, skipping the safetensors fast path)."""
+    base = os.path.basename(path)
+    if base == "pytorch_model.bin":  # transformers layout
+        return os.path.join(os.path.dirname(path), "model.safetensors")
+    return path[: -len(".bin")] + ".safetensors" if path.endswith(".bin") \
+        else path
+
+
 def _load_torch_bin(path: str) -> dict:
     """Load a diffusers/transformers torch weight file (.bin/.safetensors)."""
     if path.endswith(".safetensors") or os.path.exists(
-            path.replace("pytorch_model.bin", "model.safetensors")):
+            _safetensors_sibling(path)):
         try:
             from safetensors.numpy import load_file
 
             p = (path if path.endswith(".safetensors")
-                 else path.replace("pytorch_model.bin", "model.safetensors"))
+                 else _safetensors_sibling(path))
             if os.path.exists(p):
                 return dict(load_file(p))
         except ImportError:
@@ -86,7 +99,11 @@ def _init(model, key, *args, dtype=jnp.float32):
     return model.init(key, *args)
 
 
-def _merge_into_init(model, init_args, converted, key=jax.random.PRNGKey(0)):
+def _merge_into_init(model, init_args, converted, key=None):
+    # key default must NOT be a PRNGKey at module scope: evaluating it at
+    # import time initializes the XLA backend and breaks a later
+    # jax.distributed.initialize() in multi-host launches
+    key = jax.random.PRNGKey(0) if key is None else key
     fresh = model.init(key, *init_args)
     n_fresh = C.count_fresh_leaves(fresh["params"], converted)
     logger.info("%s: %d leaves stay fresh-init",

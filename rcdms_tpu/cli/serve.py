@@ -82,7 +82,8 @@ def _decode_b64_image(data: str) -> np.ndarray:
 
 
 class _Request:
-    __slots__ = ("inputs", "seed", "done", "frames", "error", "batch_size")
+    __slots__ = ("inputs", "seed", "done", "frames", "error", "batch_size",
+                 "t0")
 
     def __init__(self, inputs, seed):
         self.inputs = inputs
@@ -91,6 +92,7 @@ class _Request:
         self.frames = None
         self.error = None
         self.batch_size = 0
+        self.t0 = time.monotonic()
 
 
 class StoryServer:
@@ -181,9 +183,12 @@ class StoryServer:
         frames = np.asarray(frames)  # (b, f, H, W, 3) float in [0, 1]
         self.compiled_batches.add(len(batch))
         u8 = np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
+        # stats mutate only here, on the single dispatch thread (handler
+        # threads doing += would race and lose updates)
         for i, r in enumerate(batch):
             r.frames = u8[i]
             r.batch_size = len(batch)
+            self.total_latency_s += time.monotonic() - r.t0
             r.done.set()
         self.served += len(batch)
 
@@ -243,7 +248,6 @@ def make_handler(server: StoryServer):
             if req.error is not None:
                 return self._reply(500, {"error": req.error})
             latency = time.monotonic() - t0
-            server.total_latency_s += latency
             self._reply(200, {
                 "frames": [_png_b64(f) for f in req.frames],
                 "latency_s": round(latency, 4),

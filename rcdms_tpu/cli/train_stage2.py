@@ -22,6 +22,7 @@ from rcdms_tpu.configs import (
     FusionConfig,
     MeshConfig,
     OptimizerConfig,
+    Stage2TrainConfig,
     StoryUNetConfig,
     TemporalConfig,
     VAEConfig,
@@ -29,6 +30,7 @@ from rcdms_tpu.configs import (
 from rcdms_tpu.cli import common
 from rcdms_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
 from rcdms_tpu.train.loop import make_sharded_train_step, place_state
+from rcdms_tpu.ops.attention import configure_for_mesh
 from rcdms_tpu.train.optim import make_optimizer
 from rcdms_tpu.train.sharding import (
     global_batch,
@@ -72,17 +74,29 @@ def parse_args(argv=None):
     p.add_argument("--rcdms-init-ckpt", default=None,
                    help="warm-start unet+fusion from a reference DeepSpeed "
                         "blob (mp_rank_00_model_states.pt)")
-    p.add_argument("--learning-rate", type=float, default=1e-5)
-    p.add_argument("--warmup-steps", type=int, default=2000)
+    _d = Stage2TrainConfig()  # typed defaults (single source of truth)
+    p.add_argument("--learning-rate", type=float,
+                   default=_d.optimizer.learning_rate)
+    p.add_argument("--warmup-steps", type=int,
+                   default=_d.optimizer.warmup_steps)
     p.add_argument("--max-train-steps", type=int, default=1_000_000)
-    p.add_argument("--batch-size", type=int, default=8, help="global")
-    p.add_argument("--noise-offset", type=float, default=0.1)
-    p.add_argument("--max-grad-norm", type=float, default=1.0)
-    p.add_argument("--checkpointing-steps", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=_d.batch_size,
+                   help="global")
+    p.add_argument("--noise-offset", type=float, default=_d.noise_offset)
+    p.add_argument("--max-grad-norm", type=float,
+                   default=_d.optimizer.grad_clip_norm)
+    p.add_argument("--checkpointing-steps", type=int,
+                   default=_d.checkpoint_every)
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument("--no-zero2", action="store_true")
     p.add_argument("--accumulate-steps", type=int, default=1)
-    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seed", type=int, default=_d.seed)
+    p.add_argument("--dtype", default=_d.compute_dtype,
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype for the trained model and frozen "
+                        "encoders (the reference trains fp16 — "
+                        "zero_stage2_config.json:2; bf16 is the TPU "
+                        "equivalent, norm/softmax stats stay fp32)")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--config", default=None,
                    help="reference-format OmegaConf YAML (the repo's "
@@ -159,16 +173,21 @@ def main(argv=None):
         overrides, _ = parse_reference_yaml(args.config)
         unet_cfg = apply_to_unet_config(unet_cfg, overrides)
 
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if args.dtype == "bfloat16" else _jnp.float32
     sd = args.sd_pretrained
     text_enc, text_p = common.build_text_encoder(
-        text_cfg, os.path.join(sd, "text_encoder") if sd else None)
+        text_cfg, os.path.join(sd, "text_encoder") if sd else None,
+        dtype=dtype)
     vis_enc, vis_p = common.build_vision_encoder(vision_cfg,
-                                                 args.vision_pretrained)
+                                                 args.vision_pretrained,
+                                                 dtype=dtype)
     vae, vae_p = common.build_vae(
-        vae_cfg, os.path.join(sd, "vae") if sd else None)
+        vae_cfg, os.path.join(sd, "vae") if sd else None, dtype=dtype)
     unet, unet_p = common.build_unet(
-        unet_cfg, os.path.join(sd, "unet") if sd else None)
-    fusion, fusion_p = common.build_fusion(fusion_cfg)
+        unet_cfg, os.path.join(sd, "unet") if sd else None, dtype=dtype)
+    fusion, fusion_p = common.build_fusion(fusion_cfg, dtype=dtype)
     if args.rcdms_init_ckpt:
         # warm-start unet+fusion from the reference's trained DeepSpeed
         # blob (stage2_batchtest_rcdms_model.py:225-243 split semantics)
@@ -190,6 +209,10 @@ def main(argv=None):
     state = TrainState.create(params, tx)
 
     mesh = make_mesh(MeshConfig())
+    # route rule-less kernels to XLA under a >1-device mesh (the partitioned
+    # nt/frame/geglu kernels stay on) — without this the frozen-encoder
+    # attention would be all-gathered + replicated on every device
+    configure_for_mesh(mesh)
     if args.batch_size % mesh.shape["data"]:
         raise SystemExit(
             f"--batch-size {args.batch_size} must be divisible by the "

@@ -23,6 +23,7 @@ from rcdms_tpu.ops.attention import (
     dot_product_attention,
     get_default_attention_impl,
 )
+from rcdms_tpu.ops.flash import _round_up  # single rounding helper
 
 Array = jax.Array
 
@@ -33,10 +34,6 @@ LANE = 128
 # 2.556 s vs 2.702 s stage-2 p50 on-chip (BASELINE.md round 3) and the
 # contraction-granularity study showed its 128-lane pad burned ~2.9x the
 # necessary MXU time on the score matmul. One formulation per use case.
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _use_frame_kernel() -> bool:

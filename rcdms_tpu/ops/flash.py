@@ -121,7 +121,8 @@ def _fit_q_block(q_block: int, skv_pad: int, d_pad: int,
         scores = q_block * skv_pad * 4
         if tiles + scores <= budget:
             break
-        q_block //= 2
+        # lane multiples only — Mosaic rejects unaligned block shapes
+        q_block = max(128, (q_block // 2) // 128 * 128)
     return q_block
 
 
@@ -308,9 +309,13 @@ def _nt_pallas(qt: Array, kt: Array, vt: Array, heads: int,
     B = math.prod(lead) if lead else 1
 
     q_block = min(q_block, _round_up(sq, LANE))
-    # fp32 score tile (q_block, skv) + operands under ~12 MB
+    # fp32 score tile (q_block, skv) + operands under ~12 MB; shrink ONLY
+    # through lane multiples (e.g. 384 -> 256, never 192 — Mosaic rejects
+    # lane-unaligned block shapes) while q rows still tile sq
     while q_block > LANE and q_block * skv * 4 > 12 * 1024 * 1024:
-        q_block //= 2
+        q_block = max(LANE, (q_block // 2) // LANE * LANE)
+        while q_block > LANE and sq % q_block:
+            q_block -= LANE
 
     qt3 = qt.reshape(B, c, sq)
     kt3 = kt.reshape(B, c, skv)

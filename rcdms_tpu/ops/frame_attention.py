@@ -37,16 +37,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from rcdms_tpu.ops.flash import _round_up  # single rounding helper
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 Array = jax.Array
 
 LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _xla_reference(q: Array, k: Array, v: Array, heads: int,

@@ -39,5 +39,19 @@ def maybe_initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes, process_id=process_id)
         logger.info("jax.distributed initialized: process %d/%d",
                     jax.process_index(), jax.process_count())
-    except RuntimeError as e:  # already initialized
-        logger.info("jax.distributed.initialize skipped: %s", e)
+    except RuntimeError as e:
+        # Only an ALREADY-initialized cluster is benign. The other
+        # RuntimeError here — 'must be called before ... XLA backend' —
+        # means some import touched the backend first; swallowing it would
+        # silently degrade the launch to N independent single-process
+        # trainings (each host shard_id=0, no gradient sync).
+        if "already" in str(e).lower():
+            logger.info("jax.distributed already initialized: %s", e)
+        else:
+            raise RuntimeError(
+                "jax.distributed.initialize failed because the XLA "
+                "backend was already initialized by an earlier import — "
+                "multi-host training would silently run as independent "
+                "single-host jobs. Fix the premature jax call (no "
+                "module-level PRNGKeys/device queries in CLI imports)."
+            ) from e
