@@ -359,8 +359,10 @@ def _flash_forward(q: Array, k: Array, v: Array, scale: float,
 
     # Mosaic requires lane-aligned block shapes on hardware (unaligned lane
     # dims fail with 'unsupported shape cast'), so head_dim/kv pads are
-    # explicit HBM pads. TODO(perf): fold the pad into the projection that
-    # produces q/k/v.
+    # explicit HBM pads here. This fallback kernel is off the TPU hot path
+    # — the nt kernel needs no pads at all (channel-major, real-dh
+    # contraction) and PaddedDense folds pads into projections where the
+    # frame kernel needs them.
     d_pad = _round_up(max(d, LANE), LANE)
     skv_pad = _round_up(skv, LANE)
     q_block = _fit_q_block(q_block, skv_pad, d_pad, q.dtype.itemsize)
