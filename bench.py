@@ -195,16 +195,18 @@ def main():
     from rcdms_tpu.ops.attention import set_default_attention_impl
     set_default_attention_impl(args.attn)
 
+    import os
+
+    # persistent compile cache BEFORE any dispatch: the train-step and
+    # full-pipeline paths are the most expensive compiles in the repo
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.full_pipeline:
         return main_full_pipeline(args)
     if args.train_step:
         return main_train_step(args)
-
-    import os
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     mesh = None
     n_chips = 1
@@ -396,8 +398,9 @@ def main_train_step(args):
 def main_full_pipeline(args):
     import numpy as np
 
+    steps = 3 if args.tiny else (args.steps or 20)
     pipeline, params, inputs, frames = build_full_pipeline(
-        args.tiny, steps=3 if args.tiny else 20,
+        args.tiny, steps=steps,
         encoder_propagation=args.encoder_propagation, batch=args.batch)
     run = jax.jit(pipeline.generate)
 
@@ -429,6 +432,7 @@ def main_full_pipeline(args):
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 4),
         "p50_story_latency_s": round(p50, 4),
+        "ddim_steps": steps,
         "compile_plus_first_run_s": round(compile_and_first, 2),
         "backend": jax.default_backend(),
         "tiny": args.tiny,

@@ -368,7 +368,16 @@ void* feeder_create(int num_threads) {
           p->jobs.pop_front();
         }
         job();
-        if (p->inflight.fetch_sub(1) == 1) p->done_cv.notify_all();
+        // decrement + notify UNDER the pool mutex: an unlocked
+        // fetch_sub/notify can fire between feeder_wait's predicate check
+        // and its wait, the classic lost wakeup — feeder_wait would then
+        // block forever on the last batch
+        bool last;
+        {
+          std::lock_guard<std::mutex> lk(p->mu);
+          last = p->inflight.fetch_sub(1) == 1;
+        }
+        if (last) p->done_cv.notify_all();
       }
     });
   }

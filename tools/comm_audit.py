@@ -70,6 +70,8 @@ _COLL_RE = re.compile(
     r"(all-gather|all-reduce|collective-permute|all-to-all|reduce-scatter)"
     r"(?:-start)?\(", re.M)
 _GROUPS_RE = re.compile(r"replica_groups=\{\{([^}]*)\}")
+# iota v2 form: replica_groups=[num_groups,group_size]<=[...]
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
 _PAIRS_RE = re.compile(r"source_target_pairs=\{([^}]*)\}")
 
 
@@ -154,12 +156,23 @@ def audit_hlo(hlo: str, steps: int):
         for m in _COLL_RE.finditer(body):
             _, type_str, kind = m.groups()
             nbytes = shape_bytes(type_str)
-            # group size from replica_groups {{0,1,2},{...}} or permute pairs
             line = body[m.start():body.find("\n", m.start())]
+            if "-start(" in line:
+                # async form: the result is a tuple carrying operand AND
+                # output buffers — halving avoids double-counting (the sync
+                # form counts the output only)
+                nbytes //= 2
+            # group size: {{0,1,...},...} braces, iota [n_groups,g]<=[...]
+            # (what this JAX emits — the brace-only parser silently
+            # defaulted every collective to g=2 and undercounted 8-way
+            # rings by ~43%), or permute pairs (pairwise)
             g = 2
             gm = _GROUPS_RE.search(line)
+            gi = _GROUPS_IOTA_RE.search(line)
             if gm:
                 g = len([x for x in gm.group(1).split(",") if x.strip()])
+            elif gi:
+                g = int(gi.group(2))
             elif _PAIRS_RE.search(line):
                 g = 2
             rows.append({"kind": kind, "bytes": nbytes, "group": g,
@@ -167,7 +180,7 @@ def audit_hlo(hlo: str, steps: int):
     return rows
 
 
-def summarize(rows, steps):
+def summarize(rows):
     per_kind = {}
     total_ici = 0.0
     total_count = 0
@@ -284,7 +297,7 @@ def audit_train_step(args):
                       "w") as fh:
                 fh.write(hlo)
         rows = audit_hlo(hlo, 1)
-        per_kind, ici_bytes, n_coll = summarize(rows, 1)
+        per_kind, ici_bytes, n_coll = summarize(rows)
         # compute: measured single-chip bf16-state step was 0.505 s at
         # batch 1 with remat (fp32 master weights add Adam HBM passes)
         compute_s = 0.505  # per chip, batch 1 each => global batch 8
@@ -360,7 +373,6 @@ def main():
         compiled = lowered.compile()
         hlo = compiled.as_text()
         if args.dump_hlo:
-            import os
 
             os.makedirs(args.dump_hlo, exist_ok=True)
             with open(f"{args.dump_hlo}/{name}.hlo", "w") as fh:
@@ -370,7 +382,7 @@ def main():
         for r in rows:
             if r["in_loop"]:
                 r["mult"] = args.model_steps
-        per_kind, ici_bytes, n_coll = summarize(rows, args.model_steps)
+        per_kind, ici_bytes, n_coll = summarize(rows)
 
         waste = frame_pad_waste(spec["frame"])
         compute_s = SINGLE_CHIP_P50_S * waste / N_DEV

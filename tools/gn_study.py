@@ -56,10 +56,20 @@ def slope_time(run, x, n1=4, n2=24):
 
 
 def bench(name, stats_fn, x):
+    # ELEMENTWISE feedback (CLAUDE.md): the old `t * scalar(stats)` is
+    # hoistable through linear stats formulations (the ones-matmul
+    # variant) and understates nothing for the bare reduction but keeps
+    # the methodology uniform
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from chainbench import feedback
+
     def step(t):
         s1, s2 = stats_fn(t)
-        scale = (jnp.sum(s1) + jnp.sum(s2)) * 1e-20 + 1.0
-        return t * scale.astype(t.dtype)
+        cat = jnp.concatenate([s1.reshape(-1), s2.reshape(-1)])
+        return feedback(t, cat)
 
     try:
         sec = slope_time(step, x)

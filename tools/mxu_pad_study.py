@@ -33,7 +33,10 @@ Usage: python tools/mxu_pad_study.py [--device cpu]
 from __future__ import annotations
 
 import argparse
-import time
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
@@ -45,49 +48,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(fn, x, n1=8, n2=72):
-    """Per-call seconds via chained-dispatch slope timing: time n1 and n2
-    chained (data-dependent) calls; slope removes dispatch/tunnel overhead.
-    The chain is a fori_loop so compile cost is N-independent."""
-    import jax.numpy as jnp
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("n",))
-    def run(t, n):
-        return jax.lax.fori_loop(0, n, lambda i, a: fn(a), t)
-
-    def chain(n):
-        run(x, n)[(0,) * x.ndim].block_until_ready()  # compile+warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = run(x, n)
-            _ = np.asarray(r[(0,) * r.ndim])  # force full tunnel drain
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = chain(n1), chain(n2)
-    return (t2 - t1) / (n2 - n1)
-
-
 def bench_matmul(name, m, k, n, b, dtype=jnp.bfloat16, results=None):
-    """Times y = x @ w for (b, m, k) @ (b, k, n); chains by feeding a slice
-    of y back as a scale on x (data dependence without shape change)."""
+    """Times y = x @ w for (b, m, k) @ (b, k, n). ELEMENTWISE chain
+    feedback via tools/chainbench (the original `t * scalar(y)` feedback
+    is hoistable through the dot — dot(t*s, w) == s*dot(t, w) — see
+    CLAUDE.md; re-validated 2026-08-18: the headline ratios held)."""
+    from chainbench import slope_time
+
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (b, m, k), dtype)
     w = jax.random.normal(jax.random.fold_in(key, 1), (b, k, n), dtype)
 
-    def step(t):
-        y = jax.lax.dot_general(t, w, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        # consume EVERY element of y (a slice would let XLA's
-        # slice-of-dot simplification DCE the matmul — measured!); the
-        # sum fuses into the dot epilogue, matching the flash kernel's
-        # output-stays-in-VMEM context
-        s = (jnp.sum(y) * 1e-20 + 1.0).astype(dtype)
-        return t * s
+    def dot(t, w):
+        return jax.lax.dot_general(t, w, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
 
-    sec = slope_time(step, x)
+    sec = slope_time(dot, x, w)
     flops = 2 * b * m * k * n
     tfs = flops / sec / 1e12
     print(f"{name:12s} b={b:3d} ({m:5d},{k:5d})@({k:5d},{n:6d}) "

@@ -98,8 +98,9 @@ def main():
     else:
         sampler, unet_p, fusion_p, cond, _, _ = bench.build(
             args.tiny, "float32")
-        sampler = type(sampler)(**{**sampler.__dict__,
-                                   "num_steps": args.steps})
+        import dataclasses
+
+        sampler = dataclasses.replace(sampler, num_steps=args.steps)
         run_j = jax.jit(sampler.__call__)
         key = jax.random.PRNGKey(0)
 
