@@ -174,6 +174,10 @@ def main():
                     help="OPT-IN approximate fast sampling: recompute the "
                          "UNet encoder every k-th step (k>=2; changes "
                          "numerics — excluded from the default metric)")
+    ap.add_argument("--int8", action="store_true",
+                    help="OPT-IN w8a8 int8 quantized inference "
+                         "(ops/quant.py; changes numerics — excluded from "
+                         "the default metric)")
     ap.add_argument("--full-pipeline", action="store_true",
                     help="measure the whole two-stage pipeline (CLIP towers "
                          "+ prior + unet + VAE) instead of stage-2 only")
@@ -194,6 +198,9 @@ def main():
 
     from rcdms_tpu.ops.attention import set_default_attention_impl
     set_default_attention_impl(args.attn)
+    if args.int8:
+        from rcdms_tpu.ops.quant import set_quant_mode
+        set_quant_mode("int8")
 
     import os
 
@@ -275,6 +282,7 @@ def main():
         "params_dtype": args.params_dtype,
         "n_chips": n_chips,
         "encoder_propagation": args.encoder_propagation,
+        "int8": args.int8,
     }
     print(json.dumps(result))
     return 0
@@ -436,6 +444,7 @@ def main_full_pipeline(args):
         "compile_plus_first_run_s": round(compile_and_first, 2),
         "backend": jax.default_backend(),
         "tiny": args.tiny,
+        "int8": args.int8,
         "full_pipeline": True,
     }))
     return 0

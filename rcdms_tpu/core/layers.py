@@ -411,6 +411,56 @@ def _use_taps9() -> bool:
     return impl == "pallas" or jax.default_backend() == "tpu"
 
 
+def _use_taps9_int8() -> bool:
+    """Opt-in w8a8 path (ops/quant.py): same dispatch tri-state as
+    `_use_taps9`, additionally requiring the int8 quant mode. Single-chip
+    only for the same halo-exchange reason (and the quantize's per-tensor
+    amax would be a cross-shard all-reduce)."""
+    from rcdms_tpu.ops.attention import (
+        get_default_attention_impl,
+        spmd_mesh_mode,
+    )
+    from rcdms_tpu.ops.quant import int8_enabled
+
+    if not int8_enabled() or spmd_mesh_mode():
+        return False
+    if os.environ.get("RCDMS_DISABLE_TAPS9"):
+        return False
+    impl = get_default_attention_impl()
+    if impl == "xla":
+        return False
+    return impl == "pallas" or jax.default_backend() == "tpu"
+
+
+def _taps9_conv_int8(x: Array, kernel: Array, bias: Array,
+                     dtype: jnp.dtype) -> Array:
+    """w8a8 variant of `_taps9_conv`: the activation is quantized ONCE
+    (per-tensor dynamic scale) and all 9 shifted dots reuse the int8
+    tensor; weights get per-output-channel scales (quantized from the same
+    fp32 params — loop-invariant, hoisted out of the sampler scan); the 9
+    taps accumulate in int32 (worst case 9*1280*127^2 ~ 1.9e8 < 2^31) and
+    dequantize in one fused fp32 epilogue. Measured 1.5-2.4x over the bf16
+    dots at SD1.5 shapes — including level 0's Cin=320, where int8 beats
+    even the NATIVE conv by ~2.4x (tools/int8_study.py), so the int8 gate
+    admits every lane-aligned 3x3."""
+    from rcdms_tpu.ops.quant import quantize_act, quantize_weight
+
+    b, f, h, w, c = x.shape
+    q, s_x = quantize_act(x)
+    qk, s_w = quantize_weight(kernel, out_axis=-1)  # (3,3,c,cout), (cout,)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.dynamic_slice(
+                qp, (0, 0, dy, dx, 0), (b, f, h, w, c))
+            t = jnp.einsum("bfhwc,cd->bfhwd", xs, qk[dy, dx],
+                           preferred_element_type=jnp.int32)
+            acc = t if acc is None else acc + t
+    out = acc.astype(jnp.float32) * (s_x * s_w) + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
 def _taps9_conv(x: Array, kernel: Array, bias: Array,
                 dtype: jnp.dtype) -> Array:
     """3x3 SAME conv as the sum of 9 shifted (tokens, Cin) @ (Cin, Cout)
@@ -480,6 +530,11 @@ class FrameConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         f = x.shape[1]
+        if (self.kernel_size == 3 and self.stride == 1 and self.padding == 1
+                and x.shape[-1] % 64 == 0 and _use_taps9_int8()):
+            kernel, bias = _ConvParams(3, x.shape[-1], self.features,
+                                       name="conv")()
+            return _taps9_conv_int8(x, kernel, bias, self.dtype)
         if (self.kernel_size == 3 and self.stride == 1 and self.padding == 1
                 and x.shape[-1] % 64 == 0 and x.shape[-1] >= 640
                 and _use_taps9()):
