@@ -33,7 +33,8 @@ BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
 def build(tiny: bool, params_dtype: str = "float32",
           use_temporal: bool = True, temporal_attn_layers: int = 2,
           batch: int = 1, mesh=None, image_size: int = 512,
-          frames: int = None, guidance: float = 2.0):
+          frames: int = None, guidance: float = 2.0,
+          tiny_channels: tuple = None):
     from rcdms_tpu.configs import FusionConfig, StoryUNetConfig
     from rcdms_tpu.models.fusion import FusionModule
     from rcdms_tpu.models.unet3d import StoryUNet
@@ -41,7 +42,8 @@ def build(tiny: bool, params_dtype: str = "float32",
 
     dtype = jnp.bfloat16
     if tiny:
-        ucfg = StoryUNetConfig.tiny(use_temporal=use_temporal)
+        tkw = {"block_channels": tiny_channels} if tiny_channels else {}
+        ucfg = StoryUNetConfig.tiny(use_temporal=use_temporal, **tkw)
         fcfg = FusionConfig.tiny(hidden_dim=ucfg.cross_attention_dim,
                                  text_dim=ucfg.cross_attention_dim)
         hw, n_vis, steps = 8, 9, 3

@@ -110,10 +110,19 @@ def parse_args(argv=None):
                         "BASELINE.md config #4). Sampling noise is drawn "
                         "per batch, so per-story outputs differ from "
                         "--eval-batch 1 (metrics are seed-robust)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="OPT-IN w8a8 int8 inference (ops/quant.py): "
+                        "single-chip stage-2 2.18 -> 2.05 s, story-output "
+                        "SSIM vs exact bf16 >= 0.99 (BASELINE.md round 4); "
+                        "CHANGES NUMERICS — never use for parity runs")
     return p.parse_args(argv)
 
 
 def build_pipeline(args):
+    if getattr(args, "quantize", None):
+        from rcdms_tpu.ops.quant import set_quant_mode
+
+        set_quant_mode(args.quantize)
     if args.synthetic:
         from rcdms_tpu.data.datasets import SyntheticStoryDataset
 

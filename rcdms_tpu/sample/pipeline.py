@@ -198,7 +198,8 @@ class StoryPipeline:
 def build_tiny_pipeline(key: Optional[Array] = None,
                         mesh: object = None,
                         num_steps: int = 2,
-                        num_frames: int = 5):
+                        num_frames: int = 5,
+                        unet_channels: Optional[tuple] = None):
     """Tiny random-weights two-stage pipeline + params + example inputs —
     shared by the unit tests, the multichip dryrun, and smoke benches.
     `num_frames` demonstrates story lengths != 5 (the reference hardcodes
@@ -219,7 +220,11 @@ def build_tiny_pipeline(key: Optional[Array] = None,
 
     key = key if key is not None else jax.random.PRNGKey(0)
     prior_cfg = PriorConfig.tiny(num_frames=num_frames)
-    unet_cfg = StoryUNetConfig.tiny(num_frames=num_frames)
+    ukw = {"block_channels": unet_channels} if unet_channels else {}
+    # lane-aligned channels (e.g. (64, 128)) let the taps9/int8 conv
+    # formulations engage on tiny models — the parity gate's dry-run uses
+    # this; default tiny stays (32, 64)
+    unet_cfg = StoryUNetConfig.tiny(num_frames=num_frames, **ukw)
     if num_frames > prior_cfg.temporal.max_frames:
         # temporal PE table must cover the story length
         prior_cfg = dataclasses.replace(

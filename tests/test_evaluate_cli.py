@@ -59,3 +59,20 @@ def test_evaluate_full_synthetic(tmp_path):
     assert -1.0 <= summary["mean_ssim"] <= 1.0  # SSIM range; random-model
     # output vs random GT is near 0, not near 1
     assert os.path.exists(os.path.join(out, "story_0.png"))
+
+
+def test_quantize_flag_sets_mode():
+    """--quantize int8 must flip the global quant mode at build time (so
+    the later jit traces take the w8a8 path) and reject unknown modes."""
+    from rcdms_tpu.cli.evaluate import build_pipeline, parse_args
+    from rcdms_tpu.ops import quant
+
+    args = parse_args(["--synthetic", "--quantize", "int8"])
+    assert args.quantize == "int8"
+    try:
+        build_pipeline(args)
+        assert quant.int8_enabled()
+    finally:
+        quant.set_quant_mode(None)
+    with pytest.raises(SystemExit):
+        parse_args(["--synthetic", "--quantize", "int4"])

@@ -31,13 +31,14 @@ import pytest
 
 ROOT = os.environ.get("RCDMS_WEIGHTS_ROOT")
 
-pytestmark = [
-    pytest.mark.slow,
-    pytest.mark.skipif(
-        not (ROOT and os.path.isdir(ROOT)),
-        reason="RCDMS_WEIGHTS_ROOT unset/missing — real-weights gate "
-               "skipped (provide the pretrained bases to activate)"),
-]
+pytestmark = [pytest.mark.slow]
+
+# applied per-test (not module-wide) so the synthetic gate dry-run at the
+# bottom always runs in CI
+needs_weights = pytest.mark.skipif(
+    not (ROOT and os.path.isdir(ROOT)),
+    reason="RCDMS_WEIGHTS_ROOT unset/missing — real-weights gate "
+           "skipped (provide the pretrained bases to activate)")
 
 
 def _dir(*parts):
@@ -55,6 +56,7 @@ def _token_batch(vocab: int, t: int, b: int = 2, seed: int = 0):
     return ids
 
 
+@needs_weights
 @pytest.mark.parametrize("subdir,max_positions,dataset_vocab", [
     ("kandinsky-2-2-prior/text_encoder", 77, None),  # stock config
 ])
@@ -90,6 +92,7 @@ def test_clip_text_full_config_hf_parity(subdir, max_positions,
                                atol=2e-4, rtol=1e-3)
 
 
+@needs_weights
 def test_clip_vision_full_config_hf_parity():
     """48-layer bigG vision tower vs torch transformers, real weights —
     includes the no-post-LN last_hidden_state subtlety
@@ -123,6 +126,7 @@ def test_clip_vision_full_config_hf_parity():
                                atol=5e-4, rtol=1e-3)
 
 
+@needs_weights
 def test_two_stage_generate_with_real_weights():
     """Converted SD1.5 + Kandinsky weights through the full two-stage
     pipeline: 2 DDIM steps, finite frames in [0, 1]."""
@@ -164,6 +168,7 @@ def test_two_stage_generate_with_real_weights():
     assert np.isfinite(np.asarray(embeds)).all()
 
 
+@needs_weights
 def test_equal_noise_ssim_gate():
     """The SSIM >= 0.99 gate (BASELINE.md fidelity target): runs
     tools/parity_check.py's JAX side on reference-captured noise and
@@ -186,3 +191,36 @@ def test_equal_noise_ssim_gate():
     sims = [ssim(latents[0, i], ref["reference_latents"][0, i],
                  data_range=4.0) for i in range(latents.shape[1])]
     assert min(sims) >= 0.99, sims
+
+
+def test_synthetic_gate_dry_run(tmp_path):
+    """CI coverage for the ONE-COMMAND gate (tools/parity_check.py): the
+    --synthetic dry-run must execute every gate branch on tiny random
+    models, produce a well-formed report, PASS, and actually engage the
+    int8 path. This keeps the real-weights gate runnable the day weights
+    exist (PARITY.md runbook)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "report.json"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "parity_check.py"),
+         "--synthetic", "--out", str(out)],
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    report = json.loads(out.read_text())
+    assert report["gate"] == "PASS"
+    checks = report["checks"]
+    assert checks["determinism_fp32"]["identical"]
+    for name in ("bf16_vs_fp32", "int8_vs_bf16", "encoder_prop2_vs_bf16"):
+        row = checks[name]
+        assert row["status"] == "measured"
+        assert len(row["ssim_per_frame"]) == 5
+        assert all(np.isfinite(row["ssim_per_frame"]))
+    assert checks["int8_vs_bf16"]["engaged"]
+    # skipped-with-reason rows, not silently absent
+    assert checks["hf_text_parity"]["status"] == "skipped"
+    assert checks["reference_equal_noise_fp32"]["status"] == "skipped"
