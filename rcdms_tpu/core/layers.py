@@ -387,6 +387,169 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _GNParams(nn.Module):
+    """Declares {scale, bias} exactly as GroupNorm would (same names,
+    shapes, inits) without computing — the channel-major resnet path
+    consumes them while the checkpoint tree stays identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _ConvParamsTree(nn.Module):
+    """FrameConv-shaped param subtree ({name}/conv/{kernel, bias}) without
+    the conv compute — the channel-major resnet path's stand-in for
+    `FrameConv(name=...)` (ksize=1 for the 1x1 shortcut)."""
+
+    in_features: int
+    features: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.ksize, self.in_features, self.features,
+                           name="conv")()
+
+
+# ---------------------------------------------------------------------------
+# Channel-major level-0 conv segment (RCDMS_L0_CONV=cm, A/B'd end to end)
+#
+# tools/cm_conv_study.py (2026-08-19, v5e): XLA's native conv emitter runs
+# the level-0 3x3 convs (Cin=Cout=320) at ~105-120 TF/s — the 320 -> 384
+# channel-lane pad. Reformulated channel-major, out (Cout, T) =
+# sum_taps W^T . x^T(shifted), the dot has M=Cout on sublanes (no pad),
+# N=tokens on lanes (no pad), K=C contracted at real granularity:
+# measured 136-182 TF/s (run-to-run spread), consistently ~25% above
+# native. A Mosaic kernel variant was also built and REJECTED: Mosaic has
+# no bf16 lane rotate, and rotating the fp32 partial sums instead costs
+# more than the dots save (118 TF/s vs 176 for its dots alone).
+#
+# The layout must persist across a whole resnet block (transposes around a
+# single conv eat the win), so ResnetBlock carries the segment: pack ->
+# GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv -> +residual ->
+# unpack. The frame sits in a zero ring ((h+2) x (w+2) tokens) so every
+# tap is a lane-offset slice; ring entries re-zero after each non-conv op
+# so conv inputs stay correctly padded.
+# ---------------------------------------------------------------------------
+
+
+def _use_cm_l0(c_in: int, c_out: int) -> bool:
+    """Opt-in (RCDMS_L0_CONV=cm) channel-major path for the level-0
+    resnet blocks (Cout=320): the square 3x3 convs the taps9 gate rejects
+    (native emitter otherwise) AND the channel-changing up-block blocks,
+    where taps9's N=Cout=320 lanes pad to 384 (20% waste) while cm puts
+    Cout on sublanes (exact) and tokens on lanes (~3% ring pad). Same
+    dispatch tri-state and single-chip gating as taps9 (each tap slice
+    would pay its own halo exchange under 'space' sharding)."""
+    if os.environ.get("RCDMS_L0_CONV") != "cm":
+        return False
+    if not (c_in % 64 == 0 and c_out % 64 == 0 and c_out < 640):
+        return False
+    from rcdms_tpu.ops.quant import int8_enabled
+
+    if int8_enabled():
+        # the stronger opt-in wins: w8a8 taps beat the native conv ~2.4x
+        # at level 0 (tools/int8_study.py) vs cm's ~1.25x over native
+        return False
+    return _use_taps9()
+
+
+def _cm_mask(h: int, w: int) -> Array:
+    """(1, 1, (h+2)*(w+2)) fp32 interior mask (constant-folded)."""
+    m = jnp.zeros((h + 2, w + 2), jnp.float32)
+    m = m.at[1:-1, 1:-1].set(1.0)
+    return m.reshape(1, 1, -1)
+
+
+def cm_pack(x: Array) -> Array:
+    """(b, f, h, w, c) -> (b*f, c, (h+2)*(w+2)) channel-major with a zero
+    ring around each frame."""
+    b, f, h, w, c = x.shape
+    xt = jnp.transpose(x.reshape(b * f, h, w, c), (0, 3, 1, 2))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    return xt.reshape(b * f, c, (h + 2) * (w + 2))
+
+
+def cm_unpack(xcm: Array, shape: tuple) -> Array:
+    """Inverse of cm_pack (interior only)."""
+    b, f, h, w, c = shape
+    xt = xcm.reshape(b * f, c, h + 2, w + 2)[:, :, 1:-1, 1:-1]
+    return jnp.transpose(xt, (0, 2, 3, 1)).reshape(b, f, h, w, c)
+
+
+def cm_conv3(xcm: Array, hw: tuple, kernel: Array, bias: Array,
+             dtype: jnp.dtype) -> Array:
+    """3x3 SAME conv on a packed channel-major frame. xcm: (n, c, TP)
+    with a ZERO ring (the correctness precondition); returns (n, cout,
+    TP) with the ring re-zeroed."""
+    h, w = hw
+    wp = w + 2
+    tp = (h + 2) * wp
+    guard = wp + 2
+    n, c, _ = xcm.shape
+    cout = kernel.shape[-1]
+    k9 = kernel.reshape(9, c, cout).astype(dtype)
+    xbuf = jnp.pad(xcm.astype(dtype), ((0, 0), (0, 0), (guard, guard)))
+    acc = None
+    i = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xs = jax.lax.dynamic_slice(
+                xbuf, (0, 0, guard + dy * wp + dx), (n, c, tp))
+            t = jnp.einsum("cd,bct->bdt", k9[i], xs,
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+            i += 1
+    out = acc + bias.astype(jnp.float32)[None, :, None]
+    return (out * _cm_mask(h, w)).astype(dtype)
+
+
+def cm_conv1(xcm: Array, hw: tuple, kernel: Array, bias: Array,
+             dtype: jnp.dtype) -> Array:
+    """1x1 conv (the channel-change shortcut) on a packed channel-major
+    frame: one (Cout, C) @ (C, TP) dot; the bias re-populates the ring, so
+    the mask re-zeroes it."""
+    h, w = hw
+    c, cout = kernel.shape[-2:]
+    wmat = kernel.reshape(c, cout).astype(dtype)
+    out = jnp.einsum("cd,bct->bdt", wmat, xcm.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + bias.astype(jnp.float32)[None, :, None]
+    return (out * _cm_mask(h, w)).astype(dtype)
+
+
+def cm_groupnorm(xcm: Array, hw: tuple, groups: int, eps: float,
+                 scale: Array, bias: Array) -> Array:
+    """GroupNorm on a packed channel-major frame — same math as
+    `GroupNorm` (fp32 stats, per (sample, group) over spatial x c/g). The
+    ring's zeros drop out of the sums, so dividing by the TRUE token
+    count gives exact moments; the affine add re-populates the ring, so
+    the mask re-zeroes it."""
+    h, w = hw
+    n, c, _ = xcm.shape
+    g = groups
+    nvalid = h * w
+    xf = xcm.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=-1) / nvalid            # (n, c)
+    s2 = jnp.sum(xf * xf, axis=-1) / nvalid
+    mean_g = s1.reshape(n, g, c // g).mean(-1)
+    ex2_g = s2.reshape(n, g, c // g).mean(-1)
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    mean_c = jnp.repeat(mean_g, c // g, axis=-1)
+    inv_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), c // g, axis=-1)
+    mul = inv_c * scale                            # (n, c)
+    add = bias - mean_c * mul
+    y = xf * mul[:, :, None] + add[:, :, None]
+    return (y * _cm_mask(h, w)).astype(xcm.dtype)
+
+
 def _use_taps9() -> bool:
     """Same dispatch state as the Pallas kernels: impl 'xla' disables,
     'pallas' forces (the formulation is plain XLA, so it also runs on CPU

@@ -29,7 +29,44 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         """x: (b, f, h, w, c); temb: (b, time_dim) or None."""
+        from rcdms_tpu.core import layers as L
+
         in_channels = x.shape[-1]
+        if L._use_cm_l0(in_channels, self.out_channels):
+            # channel-major level-0 segment (RCDMS_L0_CONV=cm): one
+            # pack/unpack per BLOCK, every conv (incl. the 1x1 shortcut)
+            # at the pad-free dot rate (tools/cm_conv_study.py). Param
+            # tree identical to the standard path
+            # (_GNParams/_ConvParamsTree/)
+            b, f, hh, ww, _ = x.shape
+            s1, b1 = L._GNParams(in_channels, name="norm1")()
+            k1, cb1 = L._ConvParamsTree(in_channels, self.out_channels,
+                                        name="conv1")()
+            s2, b2 = L._GNParams(self.out_channels, name="norm2")()
+            k2, cb2 = L._ConvParamsTree(self.out_channels,
+                                        self.out_channels, name="conv2")()
+            xcm = L.cm_pack(x)
+            h = L.cm_groupnorm(xcm, (hh, ww), self.groups, self.eps, s1, b1)
+            h = nn.silu(h)
+            h = L.cm_conv3(h, (hh, ww), k1, cb1, self.dtype)
+            if temb is not None:
+                t = nn.Dense(self.out_channels, dtype=self.dtype,
+                             name="time_emb_proj")(nn.silu(temb))
+                t = jnp.repeat(t, f, axis=0)          # (b*f, c)
+                # masked add keeps the zero ring intact for conv2
+                h = h + (t[:, :, None]
+                         * L._cm_mask(hh, ww)).astype(h.dtype)
+            h = L.cm_groupnorm(h, (hh, ww), self.groups, self.eps, s2, b2)
+            h = nn.silu(h)
+            h = L.cm_conv3(h, (hh, ww), k2, cb2, self.dtype)
+            if in_channels != self.out_channels:
+                ks, cbs = L._ConvParamsTree(in_channels, self.out_channels,
+                                            ksize=1,
+                                            name="conv_shortcut")()
+                xcm = L.cm_conv1(xcm, (hh, ww), ks, cbs, self.dtype)
+            out_shape = x.shape[:-1] + (self.out_channels,)
+            return L.cm_unpack(xcm + h, out_shape)
+
         h = GroupNorm(self.groups, eps=self.eps, name="norm1")(x)
         h = nn.silu(h)
         h = FrameConv(self.out_channels, dtype=self.dtype, name="conv1")(h)

@@ -113,6 +113,83 @@ def cm_conv(x_cm: jnp.ndarray, w9: jnp.ndarray, bias: jnp.ndarray,
     return (out * mask).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# Pallas variant: force the K=C contraction onto SUBLANES (real-rate, no
+# 320->384 pad — the nt-flash trick at conv shapes). Whole padded frame
+# per grid cell in a lane-tile-aligned (C, TPAD) buffer; taps are
+# in-kernel lane rolls (wraps land in the zero tail / discarded ring).
+# ---------------------------------------------------------------------------
+
+TPAD = 4608  # 36 lane tiles >= TP + max|shift|
+
+
+def to_cm_pad(x_nhwc: jnp.ndarray) -> jnp.ndarray:
+    x = to_cm(x_nhwc)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, TPAD - TP)))
+
+
+def interior_mask_pad() -> jnp.ndarray:
+    m = np.zeros((1, 1, TPAD), np.float32)
+    m[:, :, :TP] = np.asarray(interior_mask())
+    return jnp.asarray(m)
+
+
+def _cm_kernel(x_ref, w_ref, b_ref, o_ref, *, shifts: bool):
+    """out[:, t] = sum_s W_s^T x[:, t+s].
+
+    Mosaic has no bf16 lane rotate ("Rotate with non-32-bit data"), so
+    instead of shifting the bf16 operand we shift the fp32 PARTIAL SUMS:
+    u_s = W_s^T x (no operand shift, real-K sublane contraction), then
+    out = sum_s roll(u_s, -s) — fp32 rotates are supported. `shifts=False`
+    drops the rotates (wrong results) to isolate the pure dot rate."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[0]                                  # (C, TPAD) bf16
+    acc = None
+    for i, s in enumerate(TAPS):
+        u = jax.lax.dot_general(w_ref[i], x, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if shifts and s:
+            u = pltpu.roll(u, (-s) % TPAD, axis=1)
+        acc = u if acc is None else acc + u
+    o_ref[0] = (acc + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def cm_conv_pallas(x_cmp: jnp.ndarray, w9: jnp.ndarray, bias: jnp.ndarray,
+                   mask: jnp.ndarray, shifts: bool = True) -> jnp.ndarray:
+    """x_cmp: (B, C, TPAD); returns (B, Cout, TPAD), ring re-zeroed."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rcdms_tpu.ops.flash import kernel_interpret
+
+    b, c, _ = x_cmp.shape
+    cout = w9.shape[-1]
+    dtype = x_cmp.dtype
+    out = pl.pallas_call(
+        functools.partial(_cm_kernel, shifts=shifts),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, TPAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, c, cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cout, TPAD), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, cout, TPAD), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=kernel_interpret(),
+    )(x_cmp, w9.astype(dtype), bias.reshape(cout, 1))
+    return out * mask.astype(dtype)
+
+
 def native_conv(x_nhwc, w_hwio, bias):
     y = jax.lax.conv_general_dilated(
         x_nhwc, w_hwio.astype(x_nhwc.dtype), (1, 1), [(1, 1), (1, 1)],
@@ -131,7 +208,7 @@ def taps9_tok(x_nhwc, w_hwio, bias):
 def main():
     print(f"backend: {jax.default_backend()}  B={B} {H}x{W}")
     key = jax.random.PRNGKey(0)
-    for c, cout in [(320, 320), (640, 640)]:
+    for c, cout in [(320, 320)]:
         k1, k2, k3, key = jax.random.split(key, 4)
         x = jax.random.normal(k1, (B, H, W, c), jnp.bfloat16)
         w_hwio = jax.random.normal(k2, (3, 3, c, cout), jnp.bfloat16) \
@@ -151,6 +228,17 @@ def main():
         print(f"  C={c}->{cout}: cm-vs-native rel err {err:.2e}")
         assert err < 2e-2, err
 
+        x_cmp = jax.jit(to_cm_pad)(x)
+        mask_p = interior_mask_pad()
+        ref_pl = np.asarray(jax.jit(
+            lambda a: cm_conv_pallas(a, w9, bias, mask_p))(x_cmp)
+            [:, :, :TP], np.float32)
+        got_pl = np.asarray(jax.jit(from_cm)(jnp.asarray(ref_pl)),
+                            np.float32)
+        err_pl = np.abs(got_pl - ref).max() / (np.abs(ref).max() + 1e-9)
+        print(f"  C={c}->{cout}: pallas-vs-native rel err {err_pl:.2e}")
+        assert err_pl < 2e-2, err_pl
+
         rows = [
             ("native", native_conv, x, (w_hwio, bias)),
             ("taps9_tok", taps9_tok, x, (w_hwio, bias)),
@@ -158,6 +246,9 @@ def main():
              x_cm, (w9, bias, mask)),
             ("cm_xw", lambda a, w, b2, m: cm_conv(a, w, b2, m, "xw"),
              x_cm, (w9, bias, mask)),
+            ("cm_pallas", cm_conv_pallas, x_cmp, (w9, bias, mask_p)),
+            ("cm_pl_dots", lambda a, w, b2, m: cm_conv_pallas(
+                a, w, b2, m, shifts=False), x_cmp, (w9, bias, mask_p)),
         ]
         for name, fn, xin, consts in rows:
             t = slope_time(fn, xin, *consts)
