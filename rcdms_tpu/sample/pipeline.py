@@ -70,19 +70,43 @@ class StoryPipeline:
         # GSPMD — 5 frames over 8 devices is fine)
         return constrain(x, self.mesh, ("cfg", "frame", "space"))
 
-    def _encode_text(self, encoder, params, tokens: Array):
-        b, f, t = tokens.shape
-        hidden, embeds = encoder.apply(
-            params, self._all_devices(tokens.reshape(b * f, t)))
-        return (hidden.reshape(b, f, t, -1), embeds.reshape(b, f, -1))
+    def _spatial(self, x: Array) -> Array:
+        # NHWC image/latent batch with H over every device (GSPMD inserts
+        # the conv halo exchanges). Used for the VAE: its batch is b*f=5
+        # (doesn't divide 8, so batch sharding forces replicate-then-slice
+        # reshards at both sampler boundaries — the MULTICHIP_r03
+        # involuntary-rematerialization warnings), while the H axis both
+        # divides evenly at every scale AND matches the samplers' 'space'
+        # row sharding, so the latents flow through without resharding.
+        return constrain(x, self.mesh, None, ("cfg", "frame", "space"))
 
-    def _encode_images(self, params, images: Array):
+    def _encode_text_pair(self, encoder, params, tokens: Array,
+                          tokens_u: Array):
+        """One tower forward for the [cond | uncond] caption pair: 2x the
+        matmul batch, half the dispatches vs two calls (the encoders are
+        ~0.19 s of the single-chip full-pipeline p50 — BASELINE.md)."""
+        b, f, t = tokens.shape
+        both = jnp.concatenate([tokens, tokens_u]).reshape(2 * b * f, t)
+        hidden, embeds = encoder.apply(params, self._all_devices(both))
+        hidden = hidden.reshape(2, b, f, t, -1)
+        embeds = embeds.reshape(2, b, f, -1)
+        return (hidden[0], embeds[0]), (hidden[1], embeds[1])
+
+    def _encode_images(self, params, images: Array, images2: Array = None):
+        """CLIP-vision encode; pass `images2` to fold a second (b, f) image
+        batch into the same tower forward (returns a pair of results)."""
         b, f = images.shape[:2]
+        flat = images.reshape((b * f,) + images.shape[2:])
+        if images2 is not None:
+            flat = jnp.concatenate(
+                [flat, images2.reshape((b * f,) + images2.shape[2:])])
         tokens, embeds = self.vision_encoder.apply(
-            params, self._all_devices(
-                images.reshape((b * f,) + images.shape[2:])))
-        return (tokens.reshape((b, f) + tokens.shape[1:]),
-                embeds.reshape(b, f, -1))
+            params, self._all_devices(flat))
+        tokens = tokens.reshape((-1, b, f) + tokens.shape[1:])
+        embeds = embeds.reshape(-1, b, f, embeds.shape[-1])
+        if images2 is None:
+            return tokens[0], embeds[0]
+        return (tokens[0], embeds[0]), (tokens[1], embeds[1])
 
     def generate(self, params: dict, inputs: StoryInputs, key: Array):
         """params keys: text_s1, text_s2, vision, vae, prior, unet, fusion.
@@ -91,14 +115,11 @@ class StoryPipeline:
         b, f = inputs.frame_known.shape
 
         # ---- stage 1: predict CLIP embeddings for unknown frames ----------
-        th_c, te_c = self._encode_text(self.text_encoder_s1,
-                                       params["text_s1"], inputs.tokens_s1)
-        th_u, te_u = self._encode_text(self.text_encoder_s1,
-                                       params["text_s1"], inputs.tokens_s1_u)
-        src_tokens, src_embed = self._encode_images(params["vision"],
-                                                    inputs.source_clip)
-        _, mask_embed = self._encode_images(params["vision"],
-                                            inputs.mask_clip)
+        (th_c, te_c), (th_u, te_u) = self._encode_text_pair(
+            self.text_encoder_s1, params["text_s1"],
+            inputs.tokens_s1, inputs.tokens_s1_u)
+        (src_tokens, src_embed), (_, mask_embed) = self._encode_images(
+            params["vision"], inputs.source_clip, inputs.mask_clip)
 
         eos1 = self.text_encoder_s1.cfg.eos_token_id
         cond1 = PriorConditioning(
@@ -116,20 +137,21 @@ class StoryPipeline:
                                src_embed, pred_embeds)
 
         # ---- stage 2: generate latents and decode --------------------------
-        th2_c, _ = self._encode_text(self.text_encoder_s2, params["text_s2"],
-                                     inputs.tokens_s2)
-        th2_u, _ = self._encode_text(self.text_encoder_s2, params["text_s2"],
-                                     inputs.tokens_s2_u)
+        (th2_c, _), (th2_u, _) = self._encode_text_pair(
+            self.text_encoder_s2, params["text_s2"],
+            inputs.tokens_s2, inputs.tokens_s2_u)
 
         px = inputs.source_pixels
         mean, logvar = self.vae.apply(
             params["vae"],
-            self._all_devices(px.reshape((b * f,) + px.shape[2:])),
+            self._spatial(px.reshape((b * f,) + px.shape[2:])),
             method=VAE.encode)
         noise = jax.random.normal(key_vae, mean.shape)
         masked_latents = VAE.sample_latent(mean, logvar, noise) * self.vae_scale
-        masked_latents = masked_latents.reshape(
+        masked_latents = self._spatial(masked_latents).reshape(
             (b, f) + masked_latents.shape[1:])
+        masked_latents = constrain(masked_latents, self.mesh,
+                                   None, "frame", "space")
         h8, w8 = masked_latents.shape[2:4]
         mask_label = jnp.broadcast_to(
             inputs.frame_known[:, :, None, None, None].astype(px.dtype),
@@ -143,11 +165,15 @@ class StoryPipeline:
         latents = self.story_sampler(params["unet"], params["fusion"],
                                      cond2, key2)
 
+        # pin the fold-reshape's input layout (frame/space kept in place),
+        # then hand the decoder an H-sharded batch: 'space' 4-way -> full
+        # 8-way on the SAME axis is a local slice, so no reshard at all
+        latents = constrain(latents, self.mesh, None, "frame", "space")
         z = latents.reshape((b * f,) + latents.shape[2:]) / self.vae_scale
         if self.mesh is not None:
-            # sharded: one batched decode, frames spread over all devices
-            # (per-device activations are 1/8th — no HBM pressure)
-            frames = self.vae.apply(params["vae"], self._all_devices(z),
+            # sharded: one batched decode with H over all devices (same
+            # spatial scheme as encode; per-device activations are 1/8th)
+            frames = self.vae.apply(params["vae"], self._spatial(z),
                                     method=VAE.decode)
         else:
             # decode sequentially per frame (lax.map): peak decoder
@@ -171,14 +197,11 @@ class StoryPipeline:
         mask embed flipped to the white-image CLIP embedding before pass
         i+1. `white_clip`: (224, 224, 3) CLIP-preprocessed white image.
         Returns (b, f, d) predicted embeddings."""
-        th_c, te_c = self._encode_text(self.text_encoder_s1,
-                                       params["text_s1"], inputs.tokens_s1)
-        th_u, te_u = self._encode_text(self.text_encoder_s1,
-                                       params["text_s1"], inputs.tokens_s1_u)
-        _, src_embed = self._encode_images(params["vision"],
-                                           inputs.source_clip)
-        _, mask_embed = self._encode_images(params["vision"],
-                                            inputs.mask_clip)
+        (th_c, te_c), (th_u, te_u) = self._encode_text_pair(
+            self.text_encoder_s1, params["text_s1"],
+            inputs.tokens_s1, inputs.tokens_s1_u)
+        (_, src_embed), (_, mask_embed) = self._encode_images(
+            params["vision"], inputs.source_clip, inputs.mask_clip)
         _, white_embed = self.vision_encoder.apply(params["vision"],
                                                    white_clip[None])
 

@@ -70,12 +70,21 @@ class PriorSampler:
         prev_ts = jnp.asarray(self.schedule.prev_timesteps(self.num_steps))
 
         if do_cfg:
-            # batch-doubled conditioning: [uncond | cond]
-            text_embed = jnp.concatenate([cond.text_embed_u, cond.text_embed])
-            text_hidden = jnp.concatenate([cond.text_hidden_u, cond.text_hidden])
-            text_mask = jnp.concatenate([cond.text_mask_u, cond.text_mask])
-            image_embed = jnp.concatenate([cond.image_embed] * 2)
-            mask_embed = jnp.concatenate([cond.mask_embed] * 2)
+            # batch-doubled conditioning: [uncond | cond]. Operands are
+            # pre-constrained to the concat output's non-cfg layout so the
+            # concat partitions locally (GSPMD otherwise falls back to an
+            # involuntary full rematerialization — replicate-then-slice)
+            def pair(u, c):
+                u = constrain(u, self.mesh, None, "frame")
+                c = constrain(c, self.mesh, None, "frame")
+                out = jnp.concatenate([u, c])
+                return constrain(out, self.mesh, "cfg", "frame")
+
+            text_embed = pair(cond.text_embed_u, cond.text_embed)
+            text_hidden = pair(cond.text_hidden_u, cond.text_hidden)
+            text_mask = pair(cond.text_mask_u, cond.text_mask)
+            image_embed = pair(cond.image_embed, cond.image_embed)
+            mask_embed = pair(cond.mask_embed, cond.mask_embed)
         else:
             text_embed, text_hidden, text_mask = (
                 cond.text_embed, cond.text_hidden, cond.text_mask)
@@ -84,6 +93,10 @@ class PriorSampler:
         def body(carry, step):
             lat = carry
             i, t, prev_t = step
+            # pin the carry's layout: GSPMD otherwise back-propagates an
+            # f-axis sharding into the carry and the CFG concat below needs
+            # an involuntary full rematerialization to undo it
+            lat = constrain(lat, self.mesh, None, "frame")
             x = jnp.concatenate([lat] * 2) if do_cfg else lat
             x = constrain(x, self.mesh, "cfg", "frame")
             tb = jnp.full(x.shape[:2], t, jnp.int32)
@@ -99,7 +112,7 @@ class PriorSampler:
             else:
                 noise = step_noise[i]
             lat = self.schedule.step(pred, t, prev_t, lat, noise)
-            return lat, None
+            return constrain(lat, self.mesh, None, "frame"), None
 
         steps = (jnp.arange(self.num_steps), ts, prev_ts)
         latents, _ = jax.lax.scan(body, latents, steps)

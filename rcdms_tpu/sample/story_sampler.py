@@ -83,9 +83,21 @@ class StorySampler:
             context = jnp.stack([ctx_u, ctx_c])  # (2, b, f, T, d)
             masked_latents, mask_label = cond.masked_latents, cond.mask_label
         elif do_cfg:
+            # constrain the operands BEFORE the CFG-doubling concats:
+            # upstream producers arrive all-device-sharded on dim 0/1, and
+            # GSPMD cannot reshard through a concat without an involuntary
+            # full rematerialization (replicate-then-slice; the
+            # MULTICHIP_r03 dryrun tail) — pre-resharding each operand to
+            # the concat output's non-cfg layout makes the concat local
+            ctx_u = constrain(ctx_u, self.mesh, None, "frame")
+            ctx_c = constrain(ctx_c, self.mesh, None, "frame")
+            ml = constrain(cond.masked_latents, self.mesh,
+                           None, "frame", "space")
+            lbl = constrain(cond.mask_label, self.mesh,
+                            None, "frame", "space")
             context = jnp.concatenate([ctx_u, ctx_c])
-            masked_latents = jnp.concatenate([cond.masked_latents] * 2)
-            mask_label = jnp.concatenate([cond.mask_label] * 2)
+            masked_latents = jnp.concatenate([ml] * 2)
+            mask_label = jnp.concatenate([lbl] * 2)
         else:
             context = ctx_c
             masked_latents, mask_label = cond.masked_latents, cond.mask_label
