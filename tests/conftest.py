@@ -14,7 +14,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
-# single-core box: persist compiled executables across pytest runs
+# single-core box: persist compiled executables across pytest runs.
+# RCDMS_TEST_CACHE_DIR overrides (point at an empty dir for honest
+# cold-start timing without clobbering the shared warm cache).
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax"))
+                  os.environ.get("RCDMS_TEST_CACHE_DIR",
+                                 os.path.expanduser("~/.cache/jax")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

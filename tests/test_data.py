@@ -143,8 +143,10 @@ def test_tokenizer_overflow_clamps(tmp_path):
     import transformers
 
     try:
+        # local_files_only: without it HF retries the hub with long
+        # timeouts on this no-egress box (222 s test instead of 4 s)
         tok = transformers.CLIPTokenizer.from_pretrained(
-            "openai/clip-vit-base-patch32")
+            "openai/clip-vit-base-patch32", local_files_only=True)
     except Exception:
         pytest.skip("no local CLIP tokenizer files (no egress)")
     d = tmp_path / "tok"

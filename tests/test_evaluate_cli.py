@@ -61,6 +61,7 @@ def test_evaluate_full_synthetic(tmp_path):
     assert os.path.exists(os.path.join(out, "story_0.png"))
 
 
+@pytest.mark.slow
 def test_quantize_flag_sets_mode():
     """--quantize int8 must flip the global quant mode at build time (so
     the later jit traces take the w8a8 path) and reject unknown modes."""

@@ -41,6 +41,7 @@ def test_groupnorm_matches_torch():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_clip_text_parity_with_hf():
     from transformers import CLIPTextConfig as HFTextConfig
     from transformers import CLIPTextModelWithProjection

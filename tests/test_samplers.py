@@ -4,6 +4,7 @@ noise injection for parity."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rcdms_tpu.configs import FusionConfig, PriorConfig, StoryUNetConfig
 from rcdms_tpu.models.fusion import FusionModule
@@ -118,6 +119,7 @@ def test_story_sampler_shapes_and_determinism():
     assert np.isfinite(np.asarray(out1)).all()
 
 
+@pytest.mark.slow
 def test_story_sampler_batch2():
     """The reference pipeline is hard-wired to batch 1
     (`RCDMs_pipeline.py:408`, `:476`); ours must batch."""
@@ -128,6 +130,7 @@ def test_story_sampler_batch2():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_story_sampler_sequential_cfg_matches_batched():
     """Single-chip sequential-CFG (lax.map over the context pair) must equal
     the batch-doubled form — same math, different batching."""
@@ -149,6 +152,7 @@ def test_story_sampler_sequential_cfg_matches_batched():
     np.testing.assert_array_equal(np.asarray(e_seq), np.asarray(e_bat))
 
 
+@pytest.mark.slow
 def test_story_sampler_encoder_propagation():
     """Opt-in fast sampling (encoder reuse every k steps): exact when every
     step is a key step (1 step), finite + right-shaped when caching kicks

@@ -15,6 +15,11 @@ import pytest
 
 from rcdms_tpu.cli.serve import parse_args, serve
 
+# the module fixture compiles a whole tiny pipeline (~70 s cold) — full
+# suite only; the fast lane keeps the serve logic covered via parse_args
+# unit tests elsewhere
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def server():
