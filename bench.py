@@ -30,6 +30,27 @@ import jax.numpy as jnp
 BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
 
 
+def timed_compile(jitted, *args):
+    """AOT-split timing (VERDICT r4 #3): returns (compile_s, first_run_s,
+    compiled). compile_s covers trace + lowering + XLA optimization (or the
+    persistent-cache hit); first_run_s is the first execution of the already
+    compiled program, including the axon tunnel's first-dispatch overhead
+    and the device->host fetch that drains it."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    compiled = jitted.lower(*args).compile()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = compiled(*args)
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        leaf.block_until_ready()
+    float(np.asarray(leaves[0][(0,) * leaves[0].ndim]))
+    first_run_s = time.perf_counter() - t0
+    return compile_s, first_run_s, compiled
+
+
 def build(tiny: bool, params_dtype: str = "float32",
           use_temporal: bool = True, temporal_attn_layers: int = 2,
           batch: int = 1, mesh=None, image_size: int = 512,
@@ -252,9 +273,8 @@ def main():
         return float(np.asarray(x[(0,) * x.ndim]))
 
     key = jax.random.PRNGKey(42)
-    t0 = time.perf_counter()
-    sync(run(unet_p, fusion_p, cond, key))
-    compile_and_first = time.perf_counter() - t0
+    compile_s, first_run_s, run = timed_compile(run, unet_p, fusion_p, cond,
+                                                key)
     sync(run(unet_p, fusion_p, cond, key))  # warm-up, steady-state dispatch
 
     times = []
@@ -277,7 +297,9 @@ def main():
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 4),
         "p50_story_latency_s": round(p50, 4),
         "ddim_steps": steps,
-        "compile_plus_first_run_s": round(compile_and_first, 2),
+        "compile_s": round(compile_s, 2),
+        "first_run_s": round(first_run_s, 2),
+        "compile_plus_first_run_s": round(compile_s + first_run_s, 2),
         "backend": jax.default_backend(),
         "tiny": args.tiny,
         "attn": args.attn,
@@ -420,9 +442,7 @@ def main_full_pipeline(args):
         return float(np.asarray(imgs[(0,) * imgs.ndim]))
 
     key = jax.random.PRNGKey(42)
-    t0 = time.perf_counter()
-    sync(run(params, inputs, key))
-    compile_and_first = time.perf_counter() - t0
+    compile_s, first_run_s, run = timed_compile(run, params, inputs, key)
     sync(run(params, inputs, key))
 
     times = []
@@ -443,7 +463,9 @@ def main_full_pipeline(args):
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 4),
         "p50_story_latency_s": round(p50, 4),
         "ddim_steps": steps,
-        "compile_plus_first_run_s": round(compile_and_first, 2),
+        "compile_s": round(compile_s, 2),
+        "first_run_s": round(first_run_s, 2),
+        "compile_plus_first_run_s": round(compile_s + first_run_s, 2),
         "backend": jax.default_backend(),
         "tiny": args.tiny,
         "int8": args.int8,

@@ -649,35 +649,6 @@ def _taps9_conv(x: Array, kernel: Array, bias: Array,
     return (acc + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _rows3_conv(x: Array, kernel: Array, bias: Array,
-                dtype: jnp.dtype) -> Array:
-    """3x3 SAME conv as 3 dots with K = 3*Cin: concatenate the three
-    H-shifted copies on channels once, then one (tokens, 3Cin) @
-    (3Cin, Cout) matmul per W shift. Trades taps9's 9 small-K dots for 3
-    large-K dots (smaller relative lane pad at Cin=320: 960->1024 = 6.7%
-    vs 320->384 = 20%) at the cost of materializing a 3x activation
-    copy. A/B'd against taps9 and the native conv at level 0
-    (RCDMS_L0_CONV=rows3 to enable)."""
-    b, f, h, w, c = x.shape
-    cout = kernel.shape[-1]
-    kernel = kernel.astype(dtype)
-    xp = jnp.pad(x.astype(dtype), ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
-    rows = jnp.concatenate(
-        [jax.lax.dynamic_slice(xp, (0, 0, dy, 0, 0), (b, f, h, w, c))
-         for dy in range(3)], axis=-1)                   # (b,f,h,w,3c)
-    rows = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-    # rows channel blocks are dy-major: w3[dx] = [k[0,dx]; k[1,dx]; k[2,dx]]
-    w3 = jnp.transpose(kernel, (1, 0, 2, 3)).reshape(3, 3 * c, cout)
-    acc = None
-    for dx in range(3):
-        xs = jax.lax.dynamic_slice(rows, (0, 0, 0, dx, 0),
-                                   (b, f, h, w, 3 * c))
-        t = jnp.einsum("bfhwc,cd->bfhwd", xs, w3[dx],
-                       preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
-    return (acc + bias.astype(jnp.float32)).astype(dtype)
-
-
 class FrameConv(nn.Module):
     """2D conv applied per frame on (b, f, h, w, c) — the TPU-native
     equivalent of `InflatedConv3d` (`resnet.py:10-18`). 3x3 stride-1 convs
@@ -704,15 +675,9 @@ class FrameConv(nn.Module):
             kernel, bias = _ConvParams(3, x.shape[-1], self.features,
                                        name="conv")()
             return _taps9_conv(x, kernel, bias, self.dtype)
-        if (self.kernel_size == 3 and self.stride == 1 and self.padding == 1
-                and x.shape[-1] < 640 and x.shape[-1] % 64 == 0
-                and os.environ.get("RCDMS_L0_CONV") == "rows3"
-                and _use_taps9()):
-            # experimental A/B (see _rows3_conv): level-0 convs as 3
-            # large-K dots instead of the native emitter
-            kernel, bias = _ConvParams(3, x.shape[-1], self.features,
-                                       name="conv")()
-            return _rows3_conv(x, kernel, bias, self.dtype)
+        # (the rows3 level-0 formulation — 3 K=3*Cin dots — was A/B'd
+        # NEUTRAL end to end (BASELINE.md round 3: 2.170 vs 2.172 s) and
+        # deleted in round 5: one formulation per use case)
         y = nn.Conv(self.features,
                     kernel_size=(self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride),

@@ -109,23 +109,6 @@ def test_taps9_disabled_under_mesh():
     assert _use_taps9()
 
 
-def test_rows3_env_flag_matches(monkeypatch):
-    """RCDMS_L0_CONV=rows3 (experimental level-0 formulation, A/B'd
-    end-to-end neutral — BASELINE.md) must match the native conv."""
-    monkeypatch.setenv("RCDMS_L0_CONV", "rows3")
-    x = jnp.asarray(
-        np.random.default_rng(3).standard_normal((1, 2, 8, 8, 320)),
-        jnp.float32)
-    conv = FrameConv(64)
-    set_default_attention_impl("xla")
-    params = conv.init(jax.random.PRNGKey(0), x)
-    ref = conv.apply(params, x)
-    set_default_attention_impl("pallas")
-    out = conv.apply(params, x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-5)
-
-
 class TestChannelMajorResnet:
     """RCDMS_L0_CONV=cm: the channel-major level-0 resnet segment
     (core/resnet.py + layers.cm_*) must match the standard path exactly in
