@@ -34,7 +34,9 @@ ROOT = os.environ.get("RCDMS_WEIGHTS_ROOT")
 pytestmark = [pytest.mark.slow]
 
 # applied per-test (not module-wide) so the synthetic gate dry-run at the
-# bottom always runs in CI
+# bottom runs in the full suite regardless of RCDMS_WEIGHTS_ROOT (the
+# module-wide slow mark keeps the whole file out of the -m 'not slow'
+# fast lane — the dry-run costs minutes of tiny-pipeline compiles)
 needs_weights = pytest.mark.skipif(
     not (ROOT and os.path.isdir(ROOT)),
     reason="RCDMS_WEIGHTS_ROOT unset/missing — real-weights gate "
@@ -224,3 +226,41 @@ def test_synthetic_gate_dry_run(tmp_path):
     # skipped-with-reason rows, not silently absent
     assert checks["hf_text_parity"]["status"] == "skipped"
     assert checks["reference_equal_noise_fp32"]["status"] == "skipped"
+
+
+def test_capture_npz_roundtrip(tmp_path):
+    """VERDICT r4 #6: the torch-side capture script's npz schema must
+    round-trip through the gate. `capture_ref_noise.py --self-test`
+    generates the npz from the tiny JAX pipeline itself (same build as
+    --synthetic, same injected noise), so `run_jax_side` on it must
+    reproduce `reference_latents` bit-for-bit — any schema drift, field
+    rename, or injection-point regression fails here, in CI, not in the
+    operator's hands."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import capture_ref_noise
+    import parity_check
+
+    npz = str(tmp_path / "selftest.npz")
+    arrays = capture_ref_noise.self_test(npz, steps=2)
+    # schema: exactly the fields parity_check documents, no extras missing
+    from rcdms_tpu.sample.prior_sampler import PriorConditioning
+    from rcdms_tpu.sample.story_sampler import StoryConditioning
+
+    for k in PriorConditioning._fields:
+        assert f"prior_{k}" in arrays, k
+    for k in StoryConditioning._fields:
+        if k != "image_proj":
+            assert f"story_{k}" in arrays, k
+    for k in ("prior_init_latents", "prior_step_noise",
+              "story_init_latents", "reference_latents",
+              "reference_prior_embeds"):
+        assert k in arrays, k
+
+    embeds, latents = parity_check.run_jax_side(
+        npz, weights_root=None, steps=2, guidance=2.0)
+    np.testing.assert_array_equal(latents, arrays["reference_latents"])
+    np.testing.assert_array_equal(embeds,
+                                  arrays["reference_prior_embeds"])

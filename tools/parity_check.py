@@ -251,15 +251,16 @@ def _reference_check(noise_npz, weights_root, dataset, steps, guidance):
     return row
 
 
-def _hf_parity_check(weights_root):
-    """The two full-config HF tower parity tests, via pytest so their
-    skip conditions (transformers/torch availability, weight subdirs)
-    apply unchanged."""
+def _hf_parity_check(weights_root, keyword):
+    """One full-config HF tower parity test, via pytest so its skip
+    conditions (transformers/torch availability, weight subdirs) apply
+    unchanged. Run once per tower so a failure names which CLIP tower
+    broke (ADVICE r4)."""
     env = dict(os.environ, RCDMS_WEIGHTS_ROOT=weights_root)
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "--no-header",
          os.path.join(REPO, "tests", "test_weights_gate.py"),
-         "-k", "hf_parity"],
+         "-k", keyword],
         capture_output=True, text=True, env=env, cwd=REPO)
     tail = (proc.stdout.strip().splitlines() or [""])[-1]
     return {"status": "passed" if proc.returncode == 0 else "failed",
@@ -282,8 +283,10 @@ def run_gate(weights_root: str | None, noise_npz: str | None,
 
     # 1. HF tower parity (weights + torch only)
     if weights_root is not None:
-        checks["hf_text_parity"] = checks["hf_vision_parity"] = \
-            _hf_parity_check(weights_root)
+        checks["hf_text_parity"] = _hf_parity_check(
+            weights_root, "clip_text_full_config")
+        checks["hf_vision_parity"] = _hf_parity_check(
+            weights_root, "clip_vision_full_config")
     else:
         checks["hf_text_parity"] = checks["hf_vision_parity"] = {
             "status": "skipped", "reason": "synthetic mode"}
