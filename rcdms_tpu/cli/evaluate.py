@@ -246,6 +246,7 @@ def build_pipeline(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    common.enable_persistent_compile_cache()
     os.makedirs(args.output_dir, exist_ok=True)
     pipeline, params, dataset, ds_cfg = build_pipeline(args)
 

@@ -46,6 +46,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from rcdms_tpu.cli.common import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ev = args.eval
     # validate cheap flags BEFORE the (expensive) model build
     from rcdms_tpu.cli.common import dataset_from_args

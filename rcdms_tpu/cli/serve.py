@@ -61,6 +61,14 @@ def parse_args(argv=None):
                    help="pending-request cap; beyond it /generate "
                         "returns 503 (backpressure) instead of growing "
                         "latency unboundedly")
+    p.add_argument("--precompile", action="store_true",
+                   help="build + compile the batch-1 pipeline into the "
+                        "persistent compile cache (RCDMS_COMPILE_CACHE or "
+                        "~/.cache/jax), then exit WITHOUT serving — run "
+                        "once at host-provisioning time so a fresh serve "
+                        "process starts from a cache hit instead of the "
+                        "full XLA pass (cold-start mitigation, VERDICT "
+                        "r4 #3)")
     args, rest = p.parse_known_args(argv)
     args.eval = eval_args(rest)
     return args
@@ -258,12 +266,19 @@ def make_handler(server: StoryServer):
 
 
 def serve(args, *, ready_event=None, httpd_box=None):
+    from rcdms_tpu.cli.common import enable_persistent_compile_cache
+
+    cache_dir = enable_persistent_compile_cache()
     server = StoryServer(args.eval, args.max_batch, args.max_wait_ms,
                          args.max_queue)
     print("compiling batch-1 pipeline...", flush=True)
     t0 = time.monotonic()
     server.warmup()
     print(f"warm in {time.monotonic() - t0:.1f}s", flush=True)
+    if getattr(args, "precompile", False):
+        print(f"precompile done; compile cache populated at {cache_dir}",
+              flush=True)
+        return
     server.start()
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server))

@@ -120,6 +120,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    common.enable_persistent_compile_cache()
     setup_logging()
     from rcdms_tpu.train.distributed import maybe_initialize
 

@@ -140,3 +140,18 @@ def test_backpressure_503():
                                 srv.dataset, srv.ds_cfg)
     assert srv.submit(inputs, 0) is not None   # fills the queue
     assert srv.submit(inputs, 1) is None       # saturated -> 503 path
+
+
+def test_precompile_exits_without_serving(tmp_path, monkeypatch):
+    """`serve --precompile` warms the pipeline into the persistent compile
+    cache and returns WITHOUT binding a port (the host-provisioning
+    cold-start mitigation). The cache dir must be populated."""
+    monkeypatch.setenv("RCDMS_COMPILE_CACHE", str(tmp_path / "cache"))
+    args = parse_args(["--precompile", "--synthetic",
+                       "--num-inference-steps", "1"])
+    box = []
+    serve(args, httpd_box=box)   # returns synchronously, no server thread
+    assert box == []             # never reached ThreadingHTTPServer
+    cache = tmp_path / "cache"
+    assert cache.is_dir() and any(cache.iterdir()), \
+        "persistent compile cache not populated"
