@@ -44,8 +44,13 @@ class PriorSampler:
     schedule: UnCLIPSchedule = UnCLIPSchedule()
     num_steps: int = 20          # reference default (`stage1_batchtest:284`)
     guidance_scale: float = 2.0  # reference default (`stage1_batchtest:286`)
-    # optional ('cfg','frame','space') inference mesh; the prior is small,
-    # so only the CFG/frame axes split (97-token seq attention on-device)
+    # optional ('cfg','frame','space') inference mesh. The frame axis maps
+    # over BOTH 'frame' and 'space' (f=5 pads to the combined extent): under
+    # the stage-2-optimal space4 mesh (cfg 2, frame 1, space 4) the prior
+    # would otherwise shard only 2-way and dominate the sharded full-story
+    # p50 (0.73 s/2 = 0.365 s vs stage-2's 2.18/8 — comm_audit --full).
+    # Cost: the temporal modules' cross-frame attention all-gathers f per
+    # step — audited, ~MBs per gather over ICI.
     mesh: object = None
 
     def __call__(self, params, cond: PriorConditioning, key: Array,
@@ -75,10 +80,10 @@ class PriorSampler:
             # concat partitions locally (GSPMD otherwise falls back to an
             # involuntary full rematerialization — replicate-then-slice)
             def pair(u, c):
-                u = constrain(u, self.mesh, None, "frame")
-                c = constrain(c, self.mesh, None, "frame")
+                u = constrain(u, self.mesh, None, ("frame", "space"))
+                c = constrain(c, self.mesh, None, ("frame", "space"))
                 out = jnp.concatenate([u, c])
-                return constrain(out, self.mesh, "cfg", "frame")
+                return constrain(out, self.mesh, "cfg", ("frame", "space"))
 
             text_embed = pair(cond.text_embed_u, cond.text_embed)
             text_hidden = pair(cond.text_hidden_u, cond.text_hidden)
@@ -96,9 +101,9 @@ class PriorSampler:
             # pin the carry's layout: GSPMD otherwise back-propagates an
             # f-axis sharding into the carry and the CFG concat below needs
             # an involuntary full rematerialization to undo it
-            lat = constrain(lat, self.mesh, None, "frame")
+            lat = constrain(lat, self.mesh, None, ("frame", "space"))
             x = jnp.concatenate([lat] * 2) if do_cfg else lat
-            x = constrain(x, self.mesh, "cfg", "frame")
+            x = constrain(x, self.mesh, "cfg", ("frame", "space"))
             tb = jnp.full(x.shape[:2], t, jnp.int32)
             pred = self.model.apply(
                 params, x, tb, text_embed, text_hidden, image_embed,
@@ -112,7 +117,7 @@ class PriorSampler:
             else:
                 noise = step_noise[i]
             lat = self.schedule.step(pred, t, prev_t, lat, noise)
-            return constrain(lat, self.mesh, None, "frame"), None
+            return constrain(lat, self.mesh, None, ("frame", "space")), None
 
         steps = (jnp.arange(self.num_steps), ts, prev_ts)
         latents, _ = jax.lax.scan(body, latents, steps)

@@ -147,7 +147,9 @@ def collective_cost(kind: str, nbytes: int, group: int) -> float:
 
 
 def audit_hlo(hlo: str, steps: int):
-    """Extract collectives; ops inside while bodies count `steps` times."""
+    """Extract collectives; ops inside while bodies count `steps` times.
+    Rows carry the computation name so multi-loop programs (the full
+    two-stage pipeline has two scans) can attribute comm per loop."""
     comps = parse_computations(hlo)
     bodies = find_while_bodies(hlo)
     rows = []
@@ -176,7 +178,8 @@ def audit_hlo(hlo: str, steps: int):
             elif _PAIRS_RE.search(line):
                 g = 2
             rows.append({"kind": kind, "bytes": nbytes, "group": g,
-                         "mult": mult, "in_loop": cname in bodies})
+                         "mult": mult, "in_loop": cname in bodies,
+                         "comp": cname})
     return rows
 
 
@@ -225,6 +228,142 @@ def frame_pad_waste(frame_ax: int, f: int = 5) -> float:
         return 1.0
     per = -(-f // frame_ax)  # ceil
     return per * frame_ax / f
+
+
+# ---- full two-stage pipeline audit (VERDICT r4 #2) -------------------------
+# Measured single-chip component attribution (BASELINE.md round-3 profile,
+# op-execution counts): the ratios are what matter; the absolute scale is
+# re-anchored to the measured full-pipeline p50 below.
+FULL_SINGLE_CHIP_P50_S = 3.26   # bench.py --full-pipeline, round 4
+_COMPONENT_S = {"stage2": 2.65, "prior": 0.73, "encoders": 0.19,
+                "vae": 0.09}
+
+
+def audit_full_pipeline(args):
+    """Compile the FULL two-stage sharded `pipeline.generate` (both text
+    towers + vision tower + prior loop + stage-2 DDIM loop + VAE
+    encode/decode, 512 px SD1.5 scale) over the 8-device CPU mesh with
+    abstract params, audit every collective, and model the v5e-8 FULL-story
+    p50 — the unit the <=2 s target actually prices
+    (`/root/reference/stage2_batchtest_rcdms_model.py:364-376`).
+
+    The compute model shards each component by its own axes:
+      stage2   1/8 x frame-pad waste (cfg 2 x frame x space)
+      prior    1/8 x pad waste over (frame x space) — the prior maps its
+               f axis over BOTH axes (sample/prior_sampler.py)
+      encoders 1/8 x 1.6 (the (b*f)=5 image / 2(b*f)=10 token batches pad
+               to the 8-device extent)
+      vae      1/8 (H-sharded; H divides evenly at every scale)
+    """
+    import dataclasses
+
+    from rcdms_tpu.cli import evaluate
+    from rcdms_tpu.cli.common import set_lazy_zero_init
+    from rcdms_tpu.ops.attention import configure_for_mesh
+    from rcdms_tpu.sample.pipeline import StoryInputs
+    from rcdms_tpu.train.sharding import inference_mesh
+
+    S = jax.ShapeDtypeStruct
+    if args.tiny:
+        from rcdms_tpu.sample.pipeline import build_tiny_pipeline
+
+        pipeline, params, real_inputs = build_tiny_pipeline(
+            num_steps=args.steps)
+        inputs = jax.tree_util.tree_map(
+            lambda x: S(x.shape, x.dtype), real_inputs)
+    else:
+        set_lazy_zero_init(True)
+        eargs = evaluate.parse_args([
+            "--dtype", "bfloat16", "--shard-story",
+            "--num-inference-steps", str(args.steps),
+            "--guidance-scale", "2.0"])
+        pipeline, params, _, ds_cfg = evaluate.build_pipeline(eargs)
+        b, f = 1, ds_cfg.num_frames
+        size, csize = ds_cfg.image_size, ds_cfg.clip_size
+        t1 = pipeline.text_encoder_s1.cfg.max_positions
+        t2 = pipeline.text_encoder_s2.cfg.max_positions
+        inputs = StoryInputs(
+            tokens_s1=S((b, f, t1), np.int32),
+            tokens_s1_u=S((b, f, t1), np.int32),
+            tokens_s2=S((b, f, t2), np.int32),
+            tokens_s2_u=S((b, f, t2), np.int32),
+            source_clip=S((b, f, csize, csize, 3), np.float32),
+            mask_clip=S((b, f, csize, csize, 3), np.float32),
+            source_pixels=S((b, f, size, size, 3), np.float32),
+            frame_known=S((b, f), np.bool_))
+    params = jax.tree_util.tree_map(
+        lambda x: S(x.shape, x.dtype), params)
+
+    scale = FULL_SINGLE_CHIP_P50_S / sum(_COMPONENT_S.values())
+    results = {}
+    for name in args.variants.split(","):
+        spec = VARIANTS[name]
+        mesh = inference_mesh(jax.devices(), frame=spec["frame"])
+        configure_for_mesh(mesh)
+        frame_ax = mesh.shape["frame"]
+        space_ax = mesh.shape["space"]
+        pl2 = dataclasses.replace(
+            pipeline, mesh=mesh,
+            prior_sampler=dataclasses.replace(pipeline.prior_sampler,
+                                              mesh=mesh),
+            story_sampler=dataclasses.replace(pipeline.story_sampler,
+                                              mesh=mesh))
+        print(f"== full pipeline [{name}]: mesh {dict(mesh.shape)} ==",
+              flush=True)
+        compiled = jax.jit(pl2.generate).lower(
+            params, inputs, S((2,), np.uint32)).compile()
+        hlo = compiled.as_text()
+        if args.dump_hlo:
+            os.makedirs(args.dump_hlo, exist_ok=True)
+            with open(f"{args.dump_hlo}/full_{name}.hlo", "w") as fh:
+                fh.write(hlo)
+        rows = audit_hlo(hlo, args.steps)
+        for r in rows:
+            if r["in_loop"]:
+                r["mult"] = args.model_steps
+        per_kind, ici_bytes, n_coll = summarize(rows)
+        # attribute in-loop comm per while body (two scans: prior, stage-2)
+        per_loop = {}
+        for r in rows:
+            if r["in_loop"]:
+                cost = collective_cost(r["kind"], r["bytes"],
+                                       r["group"]) * r["mult"]
+                agg = per_loop.setdefault(r["comp"],
+                                          {"count": 0, "ici_bytes": 0.0})
+                agg["count"] += r["mult"]
+                agg["ici_bytes"] += cost
+
+        comp = {
+            "stage2": _COMPONENT_S["stage2"] * scale
+            * frame_pad_waste(frame_ax) / N_DEV,
+            "prior": _COMPONENT_S["prior"] * scale
+            * frame_pad_waste(frame_ax * space_ax) / N_DEV,
+            "encoders": _COMPONENT_S["encoders"] * scale
+            * frame_pad_waste(N_DEV // mesh.shape["cfg"]) / N_DEV,
+            "vae": _COMPONENT_S["vae"] * scale / N_DEV,
+        }
+        compute_s = sum(comp.values())
+        comm_s = ici_bytes / ICI_GBPS_PER_CHIP + n_coll * HOP_LATENCY_S
+        res = {
+            "mesh": dict(mesh.shape),
+            "collectives": per_kind,
+            "n_collectives_total": n_coll,
+            "ici_bytes_per_chip": ici_bytes,
+            "per_loop_ici": per_loop,
+            "modeled_compute_s": {k: round(v, 4) for k, v in comp.items()},
+            "modeled_compute_total_s": round(compute_s, 3),
+            "modeled_comm_s": round(comm_s, 3),
+            "modeled_full_story_p50_s": round(compute_s + comm_s, 3),
+        }
+        results[name] = res
+        print(json.dumps(res, indent=2), flush=True)
+
+    best = min(results,
+               key=lambda k: results[k]["modeled_full_story_p50_s"])
+    print(f"\nBEST full-pipeline: {best} "
+          f"({results[best]['modeled_full_story_p50_s']} s modeled)")
+    print(json.dumps({"full_audit": results, "best": best}))
+    return results
 
 
 def audit_train_step(args):
@@ -319,6 +458,10 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="audit the sharded full-scale TRAIN step instead "
                          "of the inference sampler")
+    ap.add_argument("--full", action="store_true",
+                    help="audit the FULL two-stage pipeline (towers + "
+                         "prior + stage-2 + VAE) instead of the stage-2 "
+                         "sampler alone — models the v5e-8 full-story p50")
     ap.add_argument("--grad-variants", default="none,replicated,zero2",
                     help="(--train) gradient sharding-constraint variants "
                          "to audit: none (propagation decides), "
@@ -345,6 +488,15 @@ def main():
 
     if args.train:
         audit_train_step(args)
+        return
+    if args.full:
+        if args.kernels:
+            from rcdms_tpu.ops import flash
+            from rcdms_tpu.ops.attention import set_default_attention_impl
+
+            flash.set_kernel_interpret(True)
+            set_default_attention_impl("pallas")
+        audit_full_pipeline(args)
         return
 
     from rcdms_tpu.train.sharding import inference_mesh
