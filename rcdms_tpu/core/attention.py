@@ -146,6 +146,12 @@ class Attention(nn.Module):
                                     skv)
             return DenseTN(out_dim, True, self.dtype, name="to_out")(ot)
 
+        # NOTE on a non-change: fusing the self-attention q/k/v projections
+        # into one (c, 3*inner) matmul was built and REJECTED in round 5 —
+        # at the prior's exact shapes (M=970, K=2048) the three separate
+        # dots already run at 175.9 TF/s while the 6144-wide fused dot
+        # measures 145.1 TF/s (tools/qkv_fusion_study.py, long fold-proof
+        # chains; BASELINE.md round 5). Three skinny dots it is.
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="to_q")(x)
         k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
