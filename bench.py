@@ -27,7 +27,16 @@ import time
 import jax
 import jax.numpy as jnp
 
+# The target prices a 5-frame story in <= 2 s of FULL two-stage inference
+# on a v5e-8 (BASELINE.md targets): amortized over 8 chips that is
+# 0.3125 frames/s/chip. vs_baseline therefore compares a SINGLE-chip
+# throughput against an 8-chip-amortized floor — an honest "x the minimum
+# viable rate", NOT "x faster than the 2 s story target" (the single-chip
+# story p50 is reported alongside; the sharded full-story p50 is modeled
+# at 0.66 s on a v5e-8 — BASELINE.md round-5 audit — and is emitted below
+# as modeled_v5e8_full_story_p50_s for the full-pipeline metric).
 BASELINE_FRAMES_PER_SEC_PER_CHIP = 5.0 / (2.0 * 8)
+MODELED_V5E8_FULL_STORY_P50_S = 0.66  # tools/comm_audit.py --full, space4
 
 
 def timed_compile(jitted, *args):
@@ -295,6 +304,8 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 4),
+        "vs_baseline_denominator": "0.3125 f/s/chip (2s v5e-8 target, "
+                                   "8-chip-amortized)",
         "p50_story_latency_s": round(p50, 4),
         "ddim_steps": steps,
         "compile_s": round(compile_s, 2),
@@ -461,7 +472,10 @@ def main_full_pipeline(args):
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 4),
+        "vs_baseline_denominator": "0.3125 f/s/chip (2s v5e-8 target, "
+                                   "8-chip-amortized)",
         "p50_story_latency_s": round(p50, 4),
+        "modeled_v5e8_full_story_p50_s": MODELED_V5E8_FULL_STORY_P50_S,
         "ddim_steps": steps,
         "compile_s": round(compile_s, 2),
         "first_run_s": round(first_run_s, 2),
