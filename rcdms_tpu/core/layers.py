@@ -155,26 +155,41 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-def _use_fused_geglu(n: int, c: int, inner: int, itemsize: int = 2) -> bool:
-    """Route the geglu FF through the fused Pallas kernel (ops/geglu.py):
-    the (tokens, 2*inner) intermediate stays in VMEM instead of
-    round-tripping HBM between the two Dense matmuls. Same dispatch state
-    as attention (impl 'xla' disables; 'pallas' forces; 'auto' = TPU). The
-    kernel carries an SPMD partitioning rule, so it stays on under a
-    mesh."""
-    from rcdms_tpu.ops.attention import get_default_attention_impl
+def _fused_ff_route(shape: tuple, c: int, inner: int,
+                    itemsize: int = 2) -> str | None:
+    """Route an FF (geglu or gelu) through the fused Pallas kernel
+    (ops/geglu.py): the (tokens, inner) intermediate stays in VMEM instead
+    of round-tripping HBM between the two Dense matmuls. Same dispatch
+    state as attention (impl 'xla' disables; 'pallas' forces; 'auto' =
+    TPU). The kernel carries an SPMD partitioning rule, so it stays on
+    under a mesh.
+
+    Returns 'direct' (token dim tiles as-is), 'flat' (token dim too short
+    — e.g. the prior's 97-token sequences — but all leading dims flatten
+    into a tileable row axis; single-chip only, the flatten would mix
+    sharded axes under a mesh), or None (XLA pair)."""
+    from rcdms_tpu.ops.attention import (
+        get_default_attention_impl,
+        spmd_mesh_mode,
+    )
 
     import os
     if os.environ.get("RCDMS_DISABLE_FUSED_GEGLU"):
-        return False
+        return None
     impl = get_default_attention_impl()
     if impl == "xla":
-        return False
+        return None
     if impl != "pallas" and jax.default_backend() != "tpu":
-        return False
+        return None
     from rcdms_tpu.ops.geglu import fits_kernel
 
-    return fits_kernel(n, c, inner, itemsize)
+    if fits_kernel(shape[-2], c, inner, itemsize):
+        return "direct"
+    rows = math.prod(shape[:-1])
+    rows_pad = rows + (-rows % 128)
+    if not spmd_mesh_mode() and fits_kernel(rows_pad, c, inner, itemsize):
+        return "flat"
+    return None
 
 
 class FeedForward(nn.Module):
@@ -190,14 +205,19 @@ class FeedForward(nn.Module):
     def __call__(self, x: Array) -> Array:
         dim = x.shape[-1]
         inner = dim * self.mult
-        if (self.activation == "geglu"
-                and _use_fused_geglu(x.shape[-2], dim, inner,
-                                     jnp.dtype(self.dtype).itemsize)):
-            from rcdms_tpu.ops.geglu import geglu_ff
+        route = (_fused_ff_route(x.shape, dim, inner,
+                                 jnp.dtype(self.dtype).itemsize)
+                 if self.activation in ("geglu", "gelu") else None)
+        if route is not None:
+            from rcdms_tpu.ops.geglu import ff_flat, gelu_ff, geglu_ff
 
-            w1, b1 = _DenseParams(dim, inner * 2, name="proj_in")()
+            up = inner * 2 if self.activation == "geglu" else inner
+            fn = geglu_ff if self.activation == "geglu" else gelu_ff
+            w1, b1 = _DenseParams(dim, up, name="proj_in")()
             w2, b2 = _DenseParams(inner, dim, name="proj_out")()
-            return geglu_ff(x.astype(self.dtype), w1, b1, w2, b2)
+            if route == "flat":
+                return ff_flat(fn, x.astype(self.dtype), w1, b1, w2, b2)
+            return fn(x.astype(self.dtype), w1, b1, w2, b2)
         if self.activation == "geglu":
             h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gate = jnp.split(h, 2, axis=-1)

@@ -72,14 +72,40 @@ def _xla_reference(x: Array, w1: Array, b1: Array, w2: Array,
     return jnp.dot(h, w2.astype(dtype)) + b2.astype(dtype)
 
 
+def _xla_gelu_reference(x: Array, w1: Array, b1: Array, w2: Array,
+                        b2: Array) -> Array:
+    """Unfused oracle for the plain-gelu FF (the prior's spatial blocks,
+    core/layers.FeedForward activation='gelu'), differentiable."""
+    dtype = x.dtype
+    h = jnp.dot(x, w1.astype(dtype)) + b1.astype(dtype)
+    h = _gelu_exact(h.astype(jnp.float32)).astype(dtype)
+    return jnp.dot(h, w2.astype(dtype)) + b2.astype(dtype)
+
+
 # measured-best (blk_n, blk_i) per (c, inner) — tools/geglu_study.py sweep
 # on a v5e chip, 2026-08-18: L0 116 TF/s (c=320 lane pad caps it), L1
-# 161 TF/s, L2 170 TF/s vs the ~175-187 TF/s bare-dot ceiling
+# 161 TF/s, L2 170 TF/s vs the ~175-187 TF/s bare-dot ceiling.
+# (2048, 8192) is the prior's FF at flattened rows (970 -> 1024) —
+# tools/prior_ff_study.py sweep, round 5.
 _BEST_BLOCKS = {
     (320, 1280): (1024, 1280),
     (640, 2560): (512, 512),
     (1280, 5120): (256, 512),
+    # full-row blk_n: the x tile loads ONCE and stays VMEM-resident across
+    # the whole inner sweep (21.5 MB estimated, fits the 24 MB kernel
+    # limit). 223 TF/s geglu / 240 TF/s gelu vs 149/139 at the scan's
+    # (512, 128) pick — tools/prior_ff_study.py sweep.
+    (2048, 8192): (1024, 128),
 }
+
+# study/test hook: when set, both pallas paths use these (blk_n, blk_i)
+# verbatim (tools/prior_ff_study.py block sweep). Not a production knob.
+_BLOCK_OVERRIDE: tuple | None = None
+
+
+def set_block_override(blocks: tuple | None) -> None:
+    global _BLOCK_OVERRIDE
+    _BLOCK_OVERRIDE = blocks
 
 
 def _vmem_estimate(blk_n: int, blk_i: int, c: int, itemsize: int) -> int:
@@ -148,7 +174,7 @@ def _ff_pallas(x: Array, w1: Array, b1: Array, w2: Array,
 
     *lead, n, c = x.shape
     inner = w2.shape[0]
-    blocks = _pick_block(n, c, inner, x.dtype.itemsize)
+    blocks = _BLOCK_OVERRIDE or _pick_block(n, c, inner, x.dtype.itemsize)
     if blocks is None:
         return _xla_reference(x, w1, b1, w2, b2)
     blk_n, blk_i = blocks
@@ -257,3 +283,134 @@ def _ff_bwd(residuals, g):
 
 
 geglu_ff.defvjp(_ff_fwd, _ff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# plain-gelu fused FF (the prior's spatial blocks — reference FeedForward
+# with `geglu=False`, i.e. Dense -> exact gelu -> Dense). Same tiling as the
+# geglu kernel with the gate half removed: one up-proj tile per grid cell.
+# ---------------------------------------------------------------------------
+
+
+def _ff_gelu_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref,
+                    *, n_ib: int):
+    ib = pl.program_id(2)
+    x = x_ref[0]                                    # (blk_n, c)
+    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    a = _gelu_kernel(h).astype(x.dtype)             # (blk_n, blk_i)
+
+    @pl.when(ib == 0)
+    def _init():
+        acc_ref[...] = jnp.broadcast_to(b2_ref[...].astype(jnp.float32),
+                                        acc_ref.shape)
+
+    acc_ref[...] += jax.lax.dot_general(
+        a, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ib == n_ib - 1)
+    def _flush():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _ff_gelu_pallas(x: Array, w1: Array, b1: Array, w2: Array,
+                    b2: Array) -> Array:
+    from rcdms_tpu.ops.flash import kernel_interpret
+
+    *lead, n, c = x.shape
+    inner = w2.shape[0]
+    blocks = _BLOCK_OVERRIDE or _pick_block(n, c, inner, x.dtype.itemsize)
+    if blocks is None:
+        return _xla_gelu_reference(x, w1, b1, w2, b2)
+    blk_n, blk_i = blocks
+    n_ib = inner // blk_i
+    B = math.prod(lead) if lead else 1
+    xf = x.reshape(B, n, c)
+    dtype = x.dtype
+    w1 = w1.astype(dtype)
+    w2 = w2.astype(dtype)
+    b1 = b1.astype(dtype).reshape(1, inner)
+    b2 = b2.astype(dtype).reshape(1, c)
+
+    out = pl.pallas_call(
+        functools.partial(_ff_gelu_kernel, n_ib=n_ib),
+        grid=(B, n // blk_n, n_ib),
+        in_specs=[
+            pl.BlockSpec((1, blk_n, c), lambda b, ni, ib: (b, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, blk_i), lambda b, ni, ib: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_i), lambda b, ni, ib: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_i, c), lambda b, ni, ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, ni, ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_n, c), lambda b, ni, ib: (b, ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, c), dtype),
+        scratch_shapes=[pltpu.VMEM((blk_n, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=2 * VMEM_BUDGET),
+        interpret=kernel_interpret(),
+    )(xf, w1, b1, w2, b2)
+    return out.reshape(x.shape)
+
+
+def _ff_gelu_partition(mesh, arg_shapes, result_shape):
+    x_s, r = _ff_specs(mesh, arg_shapes)
+
+    def lower_fn(x, w1, b1, w2, b2):
+        return _ff_gelu_pallas(x, w1, b1, w2, b2)
+
+    return mesh, lower_fn, x_s, (x_s, r, r, r, r)
+
+
+_ff_gelu_spmd = custom_partitioning(_ff_gelu_pallas)
+_ff_gelu_spmd.def_partition(partition=_ff_gelu_partition,
+                            infer_sharding_from_operands=_ff_infer,
+                            sharding_rule=_ff_rule)
+
+
+@jax.custom_vjp
+def gelu_ff(x: Array, w1: Array, b1: Array, w2: Array, b2: Array) -> Array:
+    """Fused y = gelu(x @ W1 + b1) @ W2 + b2 (exact-erf gelu).
+
+    x: (..., n, c); w1: (c, i); b1: (i,); w2: (i, c); b2: (c,).
+    Forward runs the Pallas kernel (the (n, i) intermediate stays in VMEM);
+    backward recomputes through the XLA reference."""
+    return _ff_gelu_spmd(x, w1, b1, w2, b2)
+
+
+def _ff_gelu_fwd(x, w1, b1, w2, b2):
+    return _ff_gelu_spmd(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _ff_gelu_bwd(residuals, g):
+    x, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(_xla_gelu_reference, x, w1, b1, w2, b2)
+    return vjp(g.astype(x.dtype))
+
+
+gelu_ff.defvjp(_ff_gelu_fwd, _ff_gelu_bwd)
+
+
+def ff_flat(fn, x: Array, w1: Array, b1: Array, w2: Array,
+            b2: Array) -> Array:
+    """Run a fused FF on inputs whose token dim is too short to tile
+    (the prior's 97-token sequences): the FF is pointwise over tokens, so
+    all leading dims flatten into one row axis, zero-padded to a 128
+    multiple (padded rows compute bias-only garbage and are sliced away).
+    Single-chip only — flattening would mix sharded axes under a mesh
+    (core/layers.FeedForward gates on spmd_mesh_mode())."""
+    lead, c = x.shape[:-1], x.shape[-1]
+    rows = math.prod(lead)
+    pad = -rows % 128
+    xf = x.reshape(rows, c)
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    return fn(xf, w1, b1, w2, b2)[:rows].reshape(*lead, c)

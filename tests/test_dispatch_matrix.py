@@ -75,6 +75,8 @@ def counters(monkeypatch):
     spy(flash, "flash_attention", "tm_flash")  # token-major fallback kernel
     spy(frame_attention, "frame_attention_bfnc", "frame_kernel")
     spy(geglu, "geglu_ff", "geglu")
+    spy(geglu, "gelu_ff", "gelu")
+    spy(geglu, "ff_flat", "ff_flat")
     spy(core_attention, "dot_product_attention", "xla_attn")
     return counts
 
@@ -267,7 +269,61 @@ class TestFeedForwardDispatch:
         if impl == "pallas":
             # the geglu kernel's SPMD rule is communication-free: stays on
             assert counters.get("geglu", 0) >= 1, counters
+            assert "ff_flat" not in counters, counters  # n=256 tiles as-is
             np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
         else:
             assert "geglu" not in counters, counters
+            np.testing.assert_allclose(out, ref, atol=0, rtol=0)
+
+    @pytest.mark.parametrize("impl,env,mesh_on", MATRIX, ids=_ids)
+    def test_gelu_path(self, impl, env, mesh_on, counters, monkeypatch):
+        """The plain-gelu fused kernel (prior spatial FF) routes exactly
+        like geglu: direct when the token dim tiles."""
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((256, 64)), jnp.float32)
+        ff = FeedForward("gelu")
+
+        _configure("xla", "default", False, monkeypatch)
+        params = ff.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(ff.apply(params, x))
+        counters.clear()
+
+        _configure(impl, env, mesh_on, monkeypatch)
+        out = np.asarray(ff.apply(params, x))
+
+        if impl == "pallas":
+            assert counters.get("gelu", 0) >= 1, counters
+            assert "ff_flat" not in counters, counters
+            np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+        else:
+            assert "gelu" not in counters, counters
+            np.testing.assert_allclose(out, ref, atol=0, rtol=0)
+
+    @pytest.mark.parametrize("impl,env,mesh_on", MATRIX, ids=_ids)
+    @pytest.mark.parametrize("activation", ["geglu", "gelu"])
+    def test_flat_path(self, activation, impl, env, mesh_on, counters,
+                       monkeypatch):
+        """Short token dims (the prior's 97) flatten all leading dims into
+        one row axis for the fused kernel — single-chip only: under a mesh
+        the flatten would mix sharded axes, so it must divert to XLA."""
+        x = jnp.asarray(
+            np.random.default_rng(8).standard_normal((2, 5, 97, 64)),
+            jnp.float32)
+        ff = FeedForward(activation)
+
+        _configure("xla", "default", False, monkeypatch)
+        params = ff.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(ff.apply(params, x))
+        counters.clear()
+
+        _configure(impl, env, mesh_on, monkeypatch)
+        out = np.asarray(ff.apply(params, x))
+
+        kernel_key = "geglu" if activation == "geglu" else "gelu"
+        if impl == "pallas" and not mesh_on:
+            assert counters.get("ff_flat", 0) >= 1, counters
+            assert counters.get(kernel_key, 0) >= 1, counters
+            np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+        else:
+            assert "ff_flat" not in counters, counters
             np.testing.assert_allclose(out, ref, atol=0, rtol=0)

@@ -19,7 +19,14 @@ from rcdms_tpu.ops.attention import (
     configure_for_mesh,
     set_default_attention_impl,
 )
-from rcdms_tpu.ops.geglu import _xla_reference, fits_kernel, geglu_ff
+from rcdms_tpu.ops.geglu import (
+    _xla_gelu_reference,
+    _xla_reference,
+    ff_flat,
+    fits_kernel,
+    gelu_ff,
+    geglu_ff,
+)
 
 
 @pytest.fixture(autouse=True)
@@ -98,6 +105,53 @@ def test_gradients_match_oracle():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def _mk_gelu(n=256, c=64, mult=4, lead=(2, 3), dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    inner = c * mult
+    x = jnp.asarray(rng.standard_normal(lead + (n, c)), dtype)
+    w1 = jnp.asarray(rng.standard_normal((c, inner)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((inner,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((inner, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def test_gelu_kernel_matches_oracle():
+    """The plain-gelu variant (prior spatial FF) vs its unfused oracle."""
+    x, w1, b1, w2, b2 = _mk_gelu(seed=7)
+    ref = _xla_gelu_reference(x, w1, b1, w2, b2)
+    out = jax.jit(gelu_ff)(x, w1, b1, w2, b2)
+    assert out.shape == x.shape and out.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gelu_gradients_match_oracle():
+    x, w1, b1, w2, b2 = _mk_gelu(n=128, c=32, lead=(2,), seed=8)
+    g_fused = jax.grad(lambda *a: jnp.sum(gelu_ff(*a) ** 2),
+                       argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_gelu_reference(*a) ** 2),
+                     argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("fn,ref_fn,gate", [(geglu_ff, _xla_reference, True),
+                                            (gelu_ff, _xla_gelu_reference,
+                                             False)])
+def test_ff_flat_matches_oracle(fn, ref_fn, gate):
+    """Short token dims flattened + row-padded (the prior's (2,5,97,c) FF
+    inputs): same results as the unfused oracle on the original layout."""
+    x, w1, b1, w2, b2 = (_mk if gate else _mk_gelu)(n=97, c=64, lead=(2, 5),
+                                                    seed=9)
+    ref = ref_fn(x, w1, b1, w2, b2)
+    out = jax.jit(lambda a: ff_flat(fn, a, w1, b1, w2, b2))(x)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_feedforward_module_dispatch_and_tree():

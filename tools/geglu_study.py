@@ -86,7 +86,9 @@ def main():
             for blk_n in (128, 256, 512, 1024):
                 if n % blk_n:
                     continue
-                for blk_i in (512, 640, 1024, 1280, 2560):
+                # 128/256 added round 5: the prior sweep found full-row
+                # blk_n + SMALL blk_i wins big (x resident, W streams)
+                for blk_i in (128, 256, 512, 640, 1024, 1280, 2560):
                     if inner % blk_i:
                         continue
                     tiles = (blk_n * c + 3 * c * blk_i) * 2 * 2

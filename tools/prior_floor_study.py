@@ -186,8 +186,16 @@ def main():
     w_ff_T = jax.random.normal(key, (4 * inner, inner), dtype)
     x0 = jax.random.normal(key, (M, inner), dtype)
 
+    # the FF pair MUST carry an elementwise nonlinearity BETWEEN the two
+    # dots: `tanh((a@W1)@W2)` lets XLA hoist the loop-invariant W1@W2
+    # product out of the chain and report an impossible 204 TF/s "pair rate"
+    # (the same algebraic fold tools/qkv_fusion_study.py documented for
+    # summed projections). gelu between the dots measures the real pair.
     t_sq = slope_time(lambda a: jnp.tanh(a @ w_sq), x0)
-    t_ff = slope_time(lambda a: jnp.tanh((a @ w_ff) @ w_ff_T), x0)
+    t_ff = slope_time(
+        lambda a: jnp.tanh(jax.nn.gelu((a @ w_ff).astype(jnp.float32),
+                                       approximate=False).astype(a.dtype)
+                           @ w_ff_T), x0)
     r_sq = 2 * M * inner * inner / t_sq / 1e12
     r_ff = 2 * 2 * M * inner * 4 * inner / t_ff / 1e12
     # FLOP weights: ~45% square projections, ~55% FF-shaped (from `rows`).

@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--full-pipeline", action="store_true")
+    ap.add_argument("--prior", action="store_true",
+                    help="profile the stage-1 PriorSampler alone (same "
+                         "build as tools/prior_floor_study.py)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -85,7 +88,51 @@ def main():
     import bench
     import numpy as np
 
-    if args.full_pipeline:
+    if args.prior:
+        import jax.numpy as jnp
+
+        from rcdms_tpu.configs import PriorConfig
+        from rcdms_tpu.models.prior import FramePrior
+        from rcdms_tpu.sample.prior_sampler import (
+            PriorConditioning,
+            PriorSampler,
+        )
+
+        cfg = PriorConfig()
+        model = FramePrior(cfg, dtype=jnp.bfloat16)
+        sampler = PriorSampler(model, num_steps=args.steps,
+                               guidance_scale=2.0)
+        b, f, t, d = 1, cfg.num_frames, cfg.num_text_tokens, cfg.embedding_dim
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 8)
+        cond = PriorConditioning(
+            text_embed=jax.random.normal(ks[0], (b, f, d), jnp.bfloat16),
+            text_hidden=jax.random.normal(ks[1], (b, f, t, d), jnp.bfloat16),
+            text_mask=jnp.ones((b, f, t), bool),
+            text_embed_u=jax.random.normal(ks[2], (b, f, d), jnp.bfloat16),
+            text_hidden_u=jax.random.normal(ks[3], (b, f, t, d),
+                                            jnp.bfloat16),
+            text_mask_u=jnp.ones((b, f, t), bool),
+            image_embed=jax.random.normal(ks[4], (b, f, d), jnp.bfloat16),
+            mask_embed=jax.random.normal(ks[5], (b, f, d), jnp.bfloat16),
+        )
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                                if s.dtype == jnp.float32 else s.dtype),
+            jax.eval_shape(
+                lambda k: model.init(
+                    k, jnp.zeros((b, f, d)), jnp.zeros((b, f), jnp.int32),
+                    jnp.zeros((b, f, d)), jnp.zeros((b, f, t, d)),
+                    jnp.zeros((b, f, d)), jnp.zeros((b, f, d)),
+                    jnp.ones((b, f, t), bool)),
+                ks[6]))
+        run_j = jax.jit(sampler.__call__)
+
+        def fn():
+            out = run_j(params, cond, ks[7])
+            out.block_until_ready()
+            float(np.asarray(out[(0,) * out.ndim]))
+    elif args.full_pipeline:
         pipeline, params, inputs, _ = bench.build_full_pipeline(
             args.tiny, steps=args.steps)
         run_j = jax.jit(pipeline.generate)
