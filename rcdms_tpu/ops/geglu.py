@@ -88,6 +88,10 @@ def _xla_gelu_reference(x: Array, w1: Array, b1: Array, w2: Array,
 # (2048, 8192) is the prior's FF at flattened rows (970 -> 1024) —
 # tools/prior_ff_study.py sweep, round 5.
 _BEST_BLOCKS = {
+    # L0/L1 were re-swept round 5 with the widened blk_i grid
+    # (tools/geglu_study.py): (512,1280)/(256,512) beat these picks by
+    # 6%/9% in-chain but measured NEUTRAL end-to-end (stage-2 p50 2.178 s
+    # vs the 2.17-2.18 floor) — REJECTED, constants kept (BASELINE.md r5).
     (320, 1280): (1024, 1280),
     (640, 2560): (512, 512),
     (1280, 5120): (256, 512),
