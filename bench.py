@@ -213,6 +213,10 @@ def main():
     ap.add_argument("--full-pipeline", action="store_true",
                     help="measure the whole two-stage pipeline (CLIP towers "
                          "+ prior + unet + VAE) instead of stage-2 only")
+    ap.add_argument("--no-cond-cache", action="store_true",
+                    help="(--full-pipeline) re-encode the story-independent "
+                         "conditioning per story like the reference instead "
+                         "of using the precomputed CondCache (A/B)")
     ap.add_argument("--shard-story", action="store_true",
                     help="shard the single story over ALL devices "
                          "(('cfg','frame','space') inference mesh) — the "
@@ -445,7 +449,19 @@ def main_full_pipeline(args):
     pipeline, params, inputs, frames = build_full_pipeline(
         args.tiny, steps=steps,
         encoder_propagation=args.encoder_propagation, batch=args.batch)
-    run = jax.jit(pipeline.generate)
+    cache = None
+    if not args.no_cond_cache:
+        # story-independent conditioning precomputed once (CondCache):
+        # synthetic stand-ins for the white/black mask images + uncond rows
+        # (identical compute cost to the real constants)
+        csize = inputs.source_clip.shape[-2]
+        cache = jax.jit(pipeline.precompute_cond_cache)(
+            params, inputs.tokens_s1_u[0, 0], inputs.tokens_s2_u[0, 0],
+            jnp.ones((csize, csize, 3), jnp.float32),
+            jnp.zeros((csize, csize, 3), jnp.float32))
+        run = jax.jit(lambda p, i, k: pipeline.generate(p, i, k, cache))
+    else:
+        run = jax.jit(pipeline.generate)
 
     def sync(out):
         imgs, _ = out

@@ -47,7 +47,19 @@ def enable_persistent_compile_cache(path: Optional[str] = None) -> str:
     counterpart (torch recompiles per process by design)."""
     path = os.environ.get("RCDMS_COMPILE_CACHE") or path or \
         os.path.expanduser("~/.cache/jax")
-    jax.config.update("jax_compilation_cache_dir", path)
+    if jax.config.jax_compilation_cache_dir != path:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # jax initializes its persistent-cache singleton lazily at the
+        # first compile and ignores later dir changes — reset it so a
+        # redirect AFTER some compilation has happened (e.g. `serve
+        # --precompile` into RCDMS_COMPILE_CACHE inside a process that
+        # already jitted something) actually lands in the new directory
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass  # private API moved — worst case the old dir keeps working
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return path
 
@@ -309,6 +321,38 @@ def dataset_from_args(args) -> DatasetConfig:
     return DatasetConfig(name=args.dataset, h5_path=args.h5_path,
                          image_size=args.image_size,
                          sr_dir=getattr(args, "sr_dir", None))
+
+
+def build_cond_cache(pipeline, params, dataset, ds_cfg,
+                     negative_prompt: str = ""):
+    """Precompute the story-independent conditioning once per loaded
+    checkpoint (sample/pipeline.py::CondCache): the uncond caption through
+    both text towers and the white/black mask images through the vision
+    tower. One jitted tower pass; every subsequent `generate` call then
+    encodes f captions/images per story instead of 2f."""
+    utoks = dataset.tokenizer([negative_prompt])
+    return cond_cache_from_row(pipeline, params, ds_cfg,
+                               utoks["input_ids"][0])
+
+
+def cond_cache_from_row(pipeline, params, ds_cfg, uncond_row):
+    """build_cond_cache given an already-tokenized (T,) uncond row (the
+    serve CLI memoizes per distinct negative-prompt row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rcdms_tpu.data.protocol import (
+        black_image,
+        clip_preprocess,
+        white_image,
+    )
+
+    size, csize = ds_cfg.image_size, ds_cfg.clip_size
+    row = jnp.asarray(uncond_row)
+    white_cl = jnp.asarray(clip_preprocess(white_image(size), csize))
+    black_cl = jnp.asarray(clip_preprocess(black_image(size), csize))
+    return jax.jit(pipeline.precompute_cond_cache)(
+        params, row, row, white_cl, black_cl)
 
 
 def build_story_inputs(captions, reference_images, negative_prompt,

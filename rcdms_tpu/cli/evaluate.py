@@ -259,7 +259,13 @@ def main(argv=None):
         generate = jax.jit(lambda p, i, k: pipeline.generate_stage1_autoreg(
             p, i, k, white_clip))
     else:
-        generate = jax.jit(pipeline.generate)
+        # story-independent conditioning (uncond captions, white/black mask
+        # embeds) is precomputed once — cli/common.py::build_cond_cache
+        from rcdms_tpu.cli.common import build_cond_cache
+
+        cache = build_cond_cache(pipeline, params, dataset, ds_cfg)
+        generate = jax.jit(
+            lambda p, i, k: pipeline.generate(p, i, k, cache))
     # jitted GT-embedding pass (was an eager per-story apply — VERDICT r2
     # weak #3): (b, f, c, c, 3) -> (b, f, d) CLIP image embeds
     @jax.jit

@@ -116,6 +116,12 @@ class StoryServer:
         self.max_batch = max(1, max_batch)
         self.max_wait_s = max_wait_ms / 1e3
         self.generate = jax.jit(self.pipeline.generate)
+        # story-independent conditioning (uncond caption, white/black mask
+        # embeds), memoized per distinct negative-prompt row — halves the
+        # per-story encoder work (sample/pipeline.py::CondCache). Batches
+        # mixing different negative prompts fall back to the uncached
+        # program (generate's cond_cache is one row for the whole batch).
+        self._cond_caches: dict = {}
         self.compiled_batches = set()
         self.queue: "queue.Queue[_Request]" = queue.Queue(
             maxsize=max(1, max_queue))
@@ -131,7 +137,9 @@ class StoryServer:
         f = self.ds_cfg.num_frames
         inputs = build_story_inputs(["warmup"] * f, [], "", self.dataset,
                                     self.ds_cfg)
-        out, _ = self.generate(self.params, inputs, jax.random.PRNGKey(0))
+        cache = self._cond_cache(np.asarray(inputs.tokens_s1_u[0, 0]))
+        out, _ = self.generate(self.params, inputs, jax.random.PRNGKey(0),
+                               cache)
         np.asarray(out)  # force through the device pipeline
         self.compiled_batches.add(1)
 
@@ -180,6 +188,15 @@ class StoryServer:
                     r.error = f"{type(e).__name__}: {e}"
                     r.done.set()
 
+    def _cond_cache(self, row: "np.ndarray"):
+        from rcdms_tpu.cli.common import cond_cache_from_row
+
+        k = row.tobytes()
+        if k not in self._cond_caches:
+            self._cond_caches[k] = cond_cache_from_row(
+                self.pipeline, self.params, self.ds_cfg, row)
+        return self._cond_caches[k]
+
     def _run(self, batch):
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=0),
@@ -187,7 +204,13 @@ class StoryServer:
         key = jax.random.PRNGKey(np.uint32(batch[0].seed))
         for r in batch[1:]:
             key = jax.random.fold_in(key, np.uint32(r.seed))
-        frames, _ = self.generate(self.params, stacked, key)
+        rows = np.asarray(stacked.tokens_s1_u)
+        rows = rows.reshape(-1, rows.shape[-1])
+        if (rows == rows[0]).all():
+            frames, _ = self.generate(self.params, stacked, key,
+                                      self._cond_cache(rows[0]))
+        else:
+            frames, _ = self.generate(self.params, stacked, key)
         frames = np.asarray(frames)  # (b, f, H, W, 3) float in [0, 1]
         self.compiled_batches.add(len(batch))
         u8 = np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)

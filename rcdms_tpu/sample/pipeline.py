@@ -51,6 +51,34 @@ class StoryInputs(NamedTuple):
     frame_known: Array
 
 
+class CondCache(NamedTuple):
+    """Checkpoint-constant conditioning, precomputed once per loaded model
+    (`StoryPipeline.precompute_cond_cache`).
+
+    The reference re-encodes all of this per story: the white/black mask
+    CLIP images through the ViT-bigG tower
+    (`stage1_batchtest_rcdms_model.py:160-178`) and the "" negative prompt
+    through both text towers (`prior_pipeline.py:283-285`,
+    `RCDMs_pipeline.py:421-423`) — but none of it depends on the story,
+    only on the frozen towers. Hoisting it out cuts the per-story vision
+    batch from 2·f to f images and each text tower from 2·f to f captions
+    (exact: the same towers on the same inputs).
+
+    s1_hidden_u: (T1, d1)  stage-1 text tower last_hidden_state of the
+                           uncond caption
+    s1_embed_u:  (d1,)     its text projection
+    s2_hidden_u: (T2, d2)  stage-2 text tower last_hidden_state
+    white_embed: (d,)      CLIP image embed of the white mask image
+    black_embed: (d,)      CLIP image embed of the black mask image
+    """
+
+    s1_hidden_u: Array
+    s1_embed_u: Array
+    s2_hidden_u: Array
+    white_embed: Array
+    black_embed: Array
+
+
 @dataclass(frozen=True)
 class StoryPipeline:
     text_encoder_s1: CLIPTextEncoder
@@ -92,6 +120,31 @@ class StoryPipeline:
         embeds = embeds.reshape(2, b, f, -1)
         return (hidden[0], embeds[0]), (hidden[1], embeds[1])
 
+    def _encode_text(self, encoder, params, tokens: Array):
+        """One tower forward for the cond captions only (the uncond side
+        comes from a CondCache)."""
+        b, f, t = tokens.shape
+        hidden, embeds = encoder.apply(
+            params, self._all_devices(tokens.reshape(b * f, t)))
+        return hidden.reshape(b, f, t, -1), embeds.reshape(b, f, -1)
+
+    def precompute_cond_cache(self, params: dict, tokens_u_s1: Array,
+                              tokens_u_s2: Array, white_clip: Array,
+                              black_clip: Array) -> CondCache:
+        """Run the frozen towers once over the story-independent
+        conditioning (see CondCache). tokens_u_s1/s2: (T,) int32 uncond
+        caption rows; white_clip/black_clip: (c, c, 3) CLIP-preprocessed
+        constant mask images (`data/protocol.py::_cached_const`)."""
+        h1, e1 = self.text_encoder_s1.apply(params["text_s1"],
+                                            tokens_u_s1[None])
+        h2, _ = self.text_encoder_s2.apply(params["text_s2"],
+                                           tokens_u_s2[None])
+        _, emb = self.vision_encoder.apply(
+            params["vision"], jnp.stack([white_clip, black_clip]))
+        return CondCache(s1_hidden_u=h1[0], s1_embed_u=e1[0],
+                         s2_hidden_u=h2[0], white_embed=emb[0],
+                         black_embed=emb[1])
+
     def _encode_images(self, params, images: Array, images2: Array = None):
         """CLIP-vision encode; pass `images2` to fold a second (b, f) image
         batch into the same tower forward (returns a pair of results)."""
@@ -108,18 +161,38 @@ class StoryPipeline:
             return tokens[0], embeds[0]
         return (tokens[0], embeds[0]), (tokens[1], embeds[1])
 
-    def generate(self, params: dict, inputs: StoryInputs, key: Array):
+    def generate(self, params: dict, inputs: StoryInputs, key: Array,
+                 cond_cache: Optional[CondCache] = None):
         """params keys: text_s1, text_s2, vision, vae, prior, unet, fusion.
+        `cond_cache` (precompute_cond_cache) replaces the uncond text
+        encodes and the white/black mask-image encodes with their cached
+        values — exact, and ~half the encoder work per story.
         Returns (images in [0,1] (b, f, H, W, 3), predicted stage-1 embeds)."""
         key1, key2, key_vae = jax.random.split(key, 3)
         b, f = inputs.frame_known.shape
 
         # ---- stage 1: predict CLIP embeddings for unknown frames ----------
-        (th_c, te_c), (th_u, te_u) = self._encode_text_pair(
-            self.text_encoder_s1, params["text_s1"],
-            inputs.tokens_s1, inputs.tokens_s1_u)
-        (src_tokens, src_embed), (_, mask_embed) = self._encode_images(
-            params["vision"], inputs.source_clip, inputs.mask_clip)
+        if cond_cache is None:
+            (th_c, te_c), (th_u, te_u) = self._encode_text_pair(
+                self.text_encoder_s1, params["text_s1"],
+                inputs.tokens_s1, inputs.tokens_s1_u)
+            (src_tokens, src_embed), (_, mask_embed) = self._encode_images(
+                params["vision"], inputs.source_clip, inputs.mask_clip)
+        else:
+            th_c, te_c = self._encode_text(
+                self.text_encoder_s1, params["text_s1"], inputs.tokens_s1)
+            th_u = jnp.broadcast_to(cond_cache.s1_hidden_u, (b, f)
+                                    + cond_cache.s1_hidden_u.shape)
+            te_u = jnp.broadcast_to(cond_cache.s1_embed_u, (b, f)
+                                    + cond_cache.s1_embed_u.shape)
+            src_tokens, src_embed = self._encode_images(
+                params["vision"], inputs.source_clip)
+            # mask_clip is white(known)/black(unknown) by protocol
+            # (data/protocol.py::build_story_example) — select the cached
+            # embeds by the same flag instead of re-encoding 5 constants
+            mask_embed = jnp.where(inputs.frame_known[..., None],
+                                   cond_cache.white_embed,
+                                   cond_cache.black_embed)
 
         eos1 = self.text_encoder_s1.cfg.eos_token_id
         cond1 = PriorConditioning(
@@ -137,9 +210,15 @@ class StoryPipeline:
                                src_embed, pred_embeds)
 
         # ---- stage 2: generate latents and decode --------------------------
-        (th2_c, _), (th2_u, _) = self._encode_text_pair(
-            self.text_encoder_s2, params["text_s2"],
-            inputs.tokens_s2, inputs.tokens_s2_u)
+        if cond_cache is None:
+            (th2_c, _), (th2_u, _) = self._encode_text_pair(
+                self.text_encoder_s2, params["text_s2"],
+                inputs.tokens_s2, inputs.tokens_s2_u)
+        else:
+            th2_c, _ = self._encode_text(
+                self.text_encoder_s2, params["text_s2"], inputs.tokens_s2)
+            th2_u = jnp.broadcast_to(cond_cache.s2_hidden_u, (b, f)
+                                     + cond_cache.s2_hidden_u.shape)
 
         px = inputs.source_pixels
         mean, logvar = self.vae.apply(

@@ -43,6 +43,39 @@ def test_padding_mask_from_tokens():
     assert mask2[0, 0].all()
 
 
+def test_cond_cache_matches_uncached():
+    """The precomputed CondCache path (uncond captions + white/black mask
+    embeds hoisted out of the per-story program) must reproduce the
+    uncached generate exactly: same towers, same values, only the batching
+    differs. Inputs follow the protocol invariants the cache relies on —
+    mask_clip is white(known)/black(unknown) and every uncond row is the
+    same caption (data/protocol.py::build_story_example)."""
+    key = jax.random.PRNGKey(0)
+    pipeline, params, inputs = _build(key)
+    b, f = inputs.frame_known.shape
+    csize = inputs.source_clip.shape[-2]
+    white = jnp.full((csize, csize, 3), 0.75, jnp.float32)
+    black = jnp.full((csize, csize, 3), -0.25, jnp.float32)
+    mask_clip = jnp.where(
+        np.asarray(inputs.frame_known)[..., None, None, None],
+        white, black)
+    inputs = inputs._replace(mask_clip=mask_clip)
+
+    frames_ref, embeds_ref = jax.jit(pipeline.generate)(
+        params, inputs, jax.random.PRNGKey(1))
+
+    cache = jax.jit(pipeline.precompute_cond_cache)(
+        params, inputs.tokens_s1_u[0, 0], inputs.tokens_s2_u[0, 0],
+        white, black)
+    frames_c, embeds_c = jax.jit(pipeline.generate)(
+        params, inputs, jax.random.PRNGKey(1), cache)
+
+    np.testing.assert_allclose(np.asarray(embeds_c), np.asarray(embeds_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(frames_c), np.asarray(frames_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("num_frames", [3, 7])
 def test_story_length_generalizes(num_frames):
     """The framework parameterizes the story length the reference hardcodes
