@@ -499,6 +499,7 @@ def main_full_pipeline(args):
         "backend": jax.default_backend(),
         "tiny": args.tiny,
         "int8": args.int8,
+        "cond_cache": cache is not None,
         "full_pipeline": True,
     }))
     return 0
